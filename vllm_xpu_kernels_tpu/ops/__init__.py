@@ -1,0 +1,44 @@
+"""Functional op layer — TPU-native equivalents of the reference's
+torch.ops._C / ._moe_C / ._xpu_C / ._vllm_fa2_C surface.
+
+Convention: the reference's in-place ops (``Tensor!``) become pure functions
+returning outputs; callers at jit boundaries use donation for true in-place
+buffers.  Op names and argument meanings match the reference schemas
+(csrc/torch_bindings.cpp, csrc/moe/torch_bindings.cpp,
+csrc/xpu/torch_bindings.cpp) one-for-one so a reference user can map calls
+mechanically.
+"""
+
+from vllm_xpu_kernels_tpu.ops.activation import (  # noqa: F401
+    silu_and_mul,
+    mul_and_silu,
+    gelu_and_mul,
+    gelu_tanh_and_mul,
+    fatrelu_and_mul,
+    swigluoai_and_mul,
+    swiglustep_and_mul,
+    relu2_no_mul,
+    gelu_fast,
+    gelu_new,
+    gelu_quick,
+    silu_and_mul_quant,
+    silu_and_mul_per_block_quant,
+    silu_and_mul_mxfp4_quant,
+)
+from vllm_xpu_kernels_tpu.ops.layernorm import (  # noqa: F401
+    rms_norm,
+    fused_add_rms_norm,
+    rms_norm_static_fp8_quant,
+    fused_add_rms_norm_static_fp8_quant,
+    rms_norm_dynamic_per_token_quant,
+    rms_norm_per_block_quant,
+    rms_norm_mxfp4_quant,
+)
+from vllm_xpu_kernels_tpu.ops.quant import (  # noqa: F401
+    static_scaled_fp8_quant,
+    dynamic_scaled_fp8_quant,
+    dynamic_per_token_scaled_fp8_quant,
+    per_token_group_fp8_quant,
+    per_token_group_quant_mxfp4,
+    convert_fp8,
+)
