@@ -34,6 +34,24 @@ from vllm_xpu_kernels_tpu.ops.layernorm import (  # noqa: F401
     rms_norm_per_block_quant,
     rms_norm_mxfp4_quant,
 )
+from vllm_xpu_kernels_tpu.ops.rope import (  # noqa: F401
+    rotary_embedding,
+    fused_qk_norm_rope,
+    deepseek_scaling_rope,
+    multimodal_rotary_embedding,
+    apply_rotary_emb,
+)
+from vllm_xpu_kernels_tpu.ops.cache import (  # noqa: F401
+    reshape_and_cache,
+    reshape_and_cache_flash,
+    concat_and_cache_mla,
+    gather_cache,
+    gather_and_maybe_dequant_cache,
+    swap_blocks,
+    swap_blocks_batch,
+    indexer_k_quant_and_cache,
+    cp_gather_indexer_k_quant_cache,
+)
 from vllm_xpu_kernels_tpu.ops.quant import (  # noqa: F401
     static_scaled_fp8_quant,
     dynamic_scaled_fp8_quant,

@@ -1,0 +1,274 @@
+"""Paged KV-cache ops.
+
+Reference: csrc/cache.cpp (1672 LoC) — schemas csrc/torch_bindings.cpp:244-324.
+
+Functional mapping: every ``Tensor!`` cache argument becomes an input AND a
+returned output (callers jit with donation so XLA updates the buffer in
+place — the TPU equivalent of the reference's in-place scatter).
+
+Layouts (TPU-first):
+
+- ``reshape_and_cache_flash`` is the primary path, cache layout
+  ``[num_blocks, block_size, num_heads, head_size]`` (same as the
+  reference's "flash" layout, cache.cpp:110-335) — block_size and
+  head_size land on TPU sublane/lane tiling when block_size is a multiple
+  of 8 and head_size a multiple of 128.
+- ``reshape_and_cache`` keeps the reference's legacy vectorized layout
+  ``[num_blocks, num_heads, head_size/x, block_size, x]`` for contract
+  parity (cache.cpp:18-109).
+- The DeepSeek indexer-K cache stores fp8 payload and float32 scales as a
+  *pair* of arrays instead of the reference's byte-aliased single buffer
+  (cache.cpp:529-614) — byte aliasing is hostile to XLA; the information
+  content and update rules are identical.
+
+Slot convention: ``slot = block_idx * block_size + offset``; negative slots
+are skipped (padding).  NOTE: jnp scatter follows NumPy semantics where -1
+wraps to the last element, so padding slots are remapped to an
+out-of-bounds sentinel first and dropped with scatter mode='drop'.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vllm_xpu_kernels_tpu.registry import register_op
+from vllm_xpu_kernels_tpu.utils import quant_math as qm
+
+_FP8_DTYPES = {
+    "fp8": jnp.float8_e4m3fn,
+    "fp8_e4m3": jnp.float8_e4m3fn,
+    "fp8_e5m2": jnp.float8_e5m2,
+}
+
+
+def _maybe_quant(x, kv_cache_dtype: str, scale):
+    if kv_cache_dtype in ("auto", "", None):
+        return x
+    fp8_t = _FP8_DTYPES[kv_cache_dtype]
+    qmax = qm.fp8_max_value(fp8_t)
+    s = scale.astype(jnp.float32).reshape(()) if scale is not None else 1.0
+    return jnp.clip(x.astype(jnp.float32) / s, -qmax, qmax).astype(fp8_t)
+
+
+def _slots(slot_mapping, total_slots):
+    """int32 slot indices with negatives remapped past the end (dropped)."""
+    idx = slot_mapping.astype(jnp.int32)
+    return jnp.where(idx < 0, total_slots, idx)
+
+
+def _dequant(x, kv_cache_dtype: str, scale, out_dtype):
+    if kv_cache_dtype in ("auto", "", None):
+        return x.astype(out_dtype)
+    s = scale.astype(jnp.float32).reshape(()) if scale is not None else 1.0
+    return (x.astype(jnp.float32) * s).astype(out_dtype)
+
+
+@register_op("reshape_and_cache_flash", "cache")
+def reshape_and_cache_flash(
+    key: jax.Array,
+    value: jax.Array,
+    key_cache: jax.Array,
+    value_cache: jax.Array,
+    slot_mapping: jax.Array,
+    kv_cache_dtype: str = "auto",
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+):
+    """Scatter K/V tokens into the flash-layout paged cache
+    ``[num_blocks, block_size, H, hs]`` (cache.cpp:110-335, schema
+    csrc/torch_bindings.cpp:255-263).  Returns (key_cache, value_cache).
+    """
+    num_blocks, block_size = key_cache.shape[0], key_cache.shape[1]
+    flat_k = key_cache.reshape(num_blocks * block_size, *key_cache.shape[2:])
+    flat_v = value_cache.reshape(num_blocks * block_size, *value_cache.shape[2:])
+    idx = _slots(slot_mapping, num_blocks * block_size)
+    kq = _maybe_quant(key, kv_cache_dtype, k_scale).astype(key_cache.dtype)
+    vq = _maybe_quant(value, kv_cache_dtype, v_scale).astype(value_cache.dtype)
+    flat_k = flat_k.at[idx].set(kq, mode="drop")
+    flat_v = flat_v.at[idx].set(vq, mode="drop")
+    return (
+        flat_k.reshape(key_cache.shape),
+        flat_v.reshape(value_cache.shape),
+    )
+
+
+@register_op("reshape_and_cache", "cache")
+def reshape_and_cache(
+    key: jax.Array,
+    value: jax.Array,
+    key_cache: jax.Array,
+    value_cache: jax.Array,
+    slot_mapping: jax.Array,
+    kv_cache_dtype: str = "auto",
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+):
+    """Legacy vectorized layout: key_cache ``[blocks, H, hs/x, bs, x]``,
+    value_cache ``[blocks, H, hs, bs]`` (cache.cpp:18-109, schema
+    csrc/torch_bindings.cpp:246-252).  Returns (key_cache, value_cache)."""
+    nb, h, hsx, bs, x = key_cache.shape
+    hs = hsx * x
+    idx = _slots(slot_mapping, nb * bs)
+    block = idx // bs
+    off = jnp.where(idx >= nb * bs, bs, idx % bs)
+
+    kq = _maybe_quant(key, kv_cache_dtype, k_scale).astype(key_cache.dtype)
+    vq = _maybe_quant(value, kv_cache_dtype, v_scale).astype(value_cache.dtype)
+    # key [T, H, hs] -> [T, H, hs/x, x]
+    kq = kq.reshape(-1, h, hsx, x)
+    key_cache = key_cache.at[block, :, :, off, :].set(kq, mode="drop")
+    # value [T, H, hs]
+    value_cache = value_cache.at[block, :, :, off].set(vq, mode="drop")
+    return key_cache, value_cache
+
+
+@register_op("concat_and_cache_mla", "cache")
+def concat_and_cache_mla(
+    kv_c: jax.Array,
+    k_pe: jax.Array,
+    kv_cache: jax.Array,
+    slot_mapping: jax.Array,
+    kv_cache_dtype: str = "auto",
+    scale: jax.Array | None = None,
+):
+    """DeepSeek MLA: concat latent kv_c [T, lora_rank] + k_pe [T, pe_dim]
+    into cache [blocks, bs, lora_rank+pe_dim] (cache.cpp:336-416, schema
+    csrc/torch_bindings.cpp:266-272).  Returns kv_cache."""
+    nb, bs, entry = kv_cache.shape
+    flat = kv_cache.reshape(nb * bs, entry)
+    tok = jnp.concatenate([kv_c, k_pe], axis=-1)
+    tok = _maybe_quant(tok, kv_cache_dtype, scale).astype(kv_cache.dtype)
+    idx = _slots(slot_mapping, nb * bs)
+    return flat.at[idx].set(tok, mode="drop").reshape(kv_cache.shape)
+
+
+def _token_coords(cu_seq_lens, num_tokens, seq_starts=None):
+    """Map each output token -> (seq_id, position within gathered span)."""
+    tok = jnp.arange(num_tokens, dtype=jnp.int32)
+    seq_id = jnp.searchsorted(cu_seq_lens.astype(jnp.int32), tok, side="right") - 1
+    pos = tok - cu_seq_lens.astype(jnp.int32)[seq_id]
+    if seq_starts is not None:
+        pos = pos + seq_starts.astype(jnp.int32)[seq_id]
+    return seq_id, pos
+
+
+@register_op("gather_cache", "cache")
+def gather_cache(
+    src_cache: jax.Array,
+    block_table: jax.Array,
+    cu_seq_lens: jax.Array,
+    num_tokens: int,
+    seq_starts: jax.Array | None = None,
+):
+    """Gather paged blocks into a contiguous [num_tokens, ...] buffer
+    (cache.cpp:417-528, schema csrc/torch_bindings.cpp:275-278).
+
+    ``num_tokens`` (== dst.shape[0] in the reference) must be static."""
+    bs = src_cache.shape[1]
+    seq_id, pos = _token_coords(cu_seq_lens, num_tokens, seq_starts)
+    blk = block_table.astype(jnp.int32)[seq_id, pos // bs]
+    return src_cache[blk, pos % bs]
+
+
+@register_op("gather_and_maybe_dequant_cache", "cache")
+def gather_and_maybe_dequant_cache(
+    src_cache: jax.Array,
+    block_table: jax.Array,
+    cu_seq_lens: jax.Array,
+    token_to_seq: jax.Array,
+    num_tokens: int,
+    kv_cache_dtype: str = "auto",
+    scale: jax.Array | None = None,
+    seq_starts: jax.Array | None = None,
+    out_dtype=jnp.bfloat16,
+):
+    """gather_cache + optional FP8 dequant, with an explicit token→seq map
+    (cache.cpp:754-856, schema csrc/torch_bindings.cpp:312-320)."""
+    bs = src_cache.shape[1]
+    seq_id = token_to_seq.astype(jnp.int32)[:num_tokens]
+    pos = jnp.arange(num_tokens, dtype=jnp.int32) - cu_seq_lens.astype(jnp.int32)[seq_id]
+    if seq_starts is not None:
+        pos = pos + seq_starts.astype(jnp.int32)[seq_id]
+    blk = block_table.astype(jnp.int32)[seq_id, pos // bs]
+    vals = src_cache[blk, pos % bs]
+    return _dequant(vals, kv_cache_dtype, scale, out_dtype)
+
+
+@register_op("swap_blocks", "cache")
+def swap_blocks(src: jax.Array, dst: jax.Array, block_mapping: jax.Array):
+    """Copy whole cache blocks src->dst per [N,2] (src_block, dst_block)
+    pairs (cache.cpp:1269-1395, schema csrc/torch_bindings.cpp:288-291).
+    Device-to-device version; host staging is handled by the runtime layer
+    (vllm_xpu_kernels_tpu/runtime).  Returns dst."""
+    src_idx = block_mapping[:, 0].astype(jnp.int32)
+    dst_idx = block_mapping[:, 1].astype(jnp.int32)
+    return dst.at[dst_idx].set(src[src_idx].astype(dst.dtype), mode="drop")
+
+
+@register_op("swap_blocks_batch", "cache")
+def swap_blocks_batch(srcs, dsts, mappings):
+    """Batch variant (csrc/torch_bindings.cpp:294-297): applies swap_blocks
+    over a list of (src, dst, mapping) triples."""
+    return [swap_blocks(s, d, m) for s, d, m in zip(srcs, dsts, mappings)]
+
+
+# ---------------------------------------------------------------------------
+# DeepSeek-V3.2 indexer K cache
+# ---------------------------------------------------------------------------
+
+
+@register_op("indexer_k_quant_and_cache", "cache")
+def indexer_k_quant_and_cache(
+    k: jax.Array,
+    k_cache_fp8: jax.Array,
+    k_cache_scale: jax.Array,
+    slot_mapping: jax.Array,
+    quant_block_size: int,
+    scale_fmt: str = "fp32",
+):
+    """DeepSeek indexer: per-``quant_block_size``-group FP8 quant of K into
+    the paged indexer cache (cache.cpp:529-614, schema
+    csrc/torch_bindings.cpp:298-302).
+
+    scale = max(absmax, 1e-4)/448, optionally UE8M0-rounded when
+    ``scale_fmt == 'ue8m0'`` (cache.cpp:580-584).  Cache is the structured
+    pair (fp8 values ``[blocks, bs, head_dim]``, scales
+    ``[blocks, bs, head_dim/quant_block]``) — semantically identical to the
+    reference's byte-aliased single buffer.  Returns the updated pair.
+    """
+    t, head_dim = k.shape
+    ng = head_dim // quant_block_size
+    g = k.astype(jnp.float32).reshape(t, ng, quant_block_size)
+    amax = jnp.max(jnp.abs(g), axis=-1)
+    s = jnp.maximum(amax, 1e-4) / qm.FP8_E4M3_MAX
+    if scale_fmt == "ue8m0":
+        s = qm.ue8m0_round(s)
+    q = jnp.clip(g / s[..., None], -qm.FP8_E4M3_MAX, qm.FP8_E4M3_MAX).astype(
+        k_cache_fp8.dtype
+    )
+
+    nb, bs = k_cache_fp8.shape[0], k_cache_fp8.shape[1]
+    idx = _slots(slot_mapping, nb * bs)
+    flat_q = k_cache_fp8.reshape(nb * bs, head_dim)
+    flat_s = k_cache_scale.reshape(nb * bs, ng)
+    flat_q = flat_q.at[idx].set(q.reshape(t, head_dim), mode="drop")
+    flat_s = flat_s.at[idx].set(s.astype(k_cache_scale.dtype), mode="drop")
+    return flat_q.reshape(k_cache_fp8.shape), flat_s.reshape(k_cache_scale.shape)
+
+
+@register_op("cp_gather_indexer_k_quant_cache", "cache")
+def cp_gather_indexer_k_quant_cache(
+    k_cache_fp8: jax.Array,
+    k_cache_scale: jax.Array,
+    block_table: jax.Array,
+    cu_seq_lens: jax.Array,
+    num_tokens: int,
+):
+    """Gather quantized indexer-K + scales back to contiguous buffers
+    (context-parallel gather path; cache.cpp:615-753, schema
+    csrc/torch_bindings.cpp:303-309).  Returns (dst_k, dst_scale)."""
+    bs = k_cache_fp8.shape[1]
+    seq_id, pos = _token_coords(cu_seq_lens, num_tokens)
+    blk = block_table.astype(jnp.int32)[seq_id, pos // bs]
+    return k_cache_fp8[blk, pos % bs], k_cache_scale[blk, pos % bs]
