@@ -39,6 +39,17 @@ def scoped(values, ci=None, mini=None):
     return values
 
 
+@pytest.fixture(params=["ref", "pallas"])
+def impl(request, monkeypatch):
+    """Run a test body under both impl tiers: the pure-jnp reference and the
+    Pallas kernel (interpret mode off-TPU — the true "fake backend" role of
+    the reference's simulator mini scope, docs/test_scope_design.md)."""
+    monkeypatch.setenv(
+        "VXK_FORCE_REF" if request.param == "ref" else "VXK_FORCE_PALLAS", "1"
+    )
+    return request.param
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     import jax

@@ -1,0 +1,325 @@
+"""Fused dequant-matmul Pallas kernel — the TPU-native replacement for the
+reference's oneDNN quantized GEMM layer (reference:
+csrc/xpu/onednn/onednn_matmul.cpp, fp8_gemm_w8a8.h, fp8_gemm_w8a16.h,
+int4_gemm_w4a16.h, int4_gemm_w4a8.h).
+
+One generalized kernel covers every weight/activation recipe:
+
+- the K grid dimension steps one **scale group** at a time (bk = group
+  size); raw quantized tiles are upcast losslessly (fp8/int4 codes are
+  exactly representable in bf16), matmul'd on the MXU, and the group scales
+  are applied **post-dot** to the f32 partial product as a rank-1
+  ``a_scale[bm,1] · b_scale[1,bn]`` factor before accumulation.  This is
+  both faster (O(bm·bn) scaling instead of O(bm·bk + bk·bn) dequant) and
+  more accurate (no re-rounding of dequantized values to bf16) than
+  dequant-then-matmul.
+- per-tensor / per-row / per-col scales are applied as an XLA epilogue
+  *outside* the kernel; only K-grouped scales come here.
+- int4 weights use this engine's own "split-K" packing: byte ``b[k, n]``
+  holds ``w[k, n]`` in its low nibble and ``w[k + K/2, n]`` in its high
+  nibble, so a packed [K/2, N] tile unpacks to [K, N] with a single
+  sublane-axis concat — no in-register interleave (which the TPU vector
+  unit cannot do cheaply).  Repack utilities from GPTQ/AWQ layouts live in
+  ``vllm_xpu_kernels_tpu.quantization.repack``.
+- int4 zero-points are subtracted pre-dot (they vary per column within a
+  group): ``b = codes − zp[1, bn]`` broadcasts over sublanes on the VPU.
+
+The reference's oneDNN LRU primitive cache (lru_cache.h:14-95) has no
+analogue here: XLA's jit cache memoizes each (shape, dtype, recipe)
+specialization.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vllm_xpu_kernels_tpu.registry import interpret_mode
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# in-kernel dequant helpers (pure jnp; also used by the jnp reference path)
+# ---------------------------------------------------------------------------
+
+
+def unpack_int4_splitk(packed):
+    """One *group's* packed tile [g/2, N] -> [g, N] uint8 codes in [0, 15].
+
+    Low nibble = rows [0, g/2), high nibble = rows [g/2, g).  The kernel's
+    K grid steps one scale group at a time, so each tile is one group.
+    Nibble arithmetic runs in int32 (Mosaic has no 8-bit shifts).
+    """
+    p = packed.astype(jnp.uint8).astype(jnp.int32)
+    return jnp.concatenate([p & 0xF, p >> 4], axis=0)
+
+
+def unpack_int4_splitk_grouped(packed, group_size):
+    """Full-matrix jnp unpack of the per-group split-K layout:
+    [K/2, N] -> [K, N] uint8 codes (reference-path twin of the in-kernel
+    per-tile unpack)."""
+    g = group_size
+    k2, n = packed.shape
+    p = packed.reshape(k2 * 2 // g, g // 2, n).astype(jnp.uint8)
+    return jnp.concatenate([p & 0xF, p >> 4], axis=1).reshape(k2 * 2, n)
+
+
+def e2m1_decode_f32(code):
+    """Arithmetic e2m1 decode (no LUT gather — VPU-friendly).
+
+    code: integer array of 4-bit codes in [0, 15].
+    value = (-1)^s · (e == 0 ? 0.5·m : (1 + 0.5·m)·2^(e-1)).
+    Matches the midpoint table in utils/quant_math.py (reference:
+    csrc/quantization/fp4/mxfp4_quant.h:17-28).
+    """
+    c = code.astype(jnp.int32)
+    sign = jnp.where((c & 0x8) != 0, -1.0, 1.0)
+    e = ((c >> 1) & 0x3).astype(jnp.float32)
+    m = (c & 0x1).astype(jnp.float32)
+    mag = jnp.where(e == 0, 0.5 * m, (1.0 + 0.5 * m) * jnp.exp2(e - 1.0))
+    return sign * mag
+
+
+def _to_mxu_operand(tile, kind, zp, mm_dtype):
+    """Raw storage tile -> MXU-ready values (packed kinds unpack along
+    sublanes; zp is a [1, bn] ref slice or float const, subtracted pre-dot)."""
+    if kind in ("int4sk", "fp4sk"):
+        codes = unpack_int4_splitk(tile)
+        if kind == "fp4sk":
+            x = e2m1_decode_f32(codes)
+        else:
+            # Mosaic has no uint8->bf16 cast; widen through int32.
+            x = codes.astype(jnp.int32).astype(jnp.float32)
+    elif tile.dtype in (jnp.int8, jnp.uint8):
+        x = tile.astype(jnp.int32).astype(jnp.float32)
+    else:
+        x = tile
+    if zp is not None:
+        zf = (zp if isinstance(zp, float)
+              else zp.astype(jnp.int32).astype(jnp.float32))
+        x = x.astype(jnp.float32) - zf
+    return x.astype(mm_dtype)
+
+
+def _qmm_kernel(spec, *refs):
+    """refs: [a, b, (a_scale), (b_scale), (b_zp), (bias), out, acc]."""
+    import jax.experimental.pallas as pl
+
+    it = iter(refs)
+    a_ref = next(it)
+    b_ref = next(it)
+    a_s_ref = next(it) if spec["a_scale_group"] else None
+    b_s_ref = next(it) if spec["b_scale_group"] else None
+    b_z_ref = next(it) if spec["b_zp_group"] else None
+    bias_ref = next(it) if spec["has_bias"] else None
+    o_ref = next(it)
+    acc_ref = next(it)
+
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    mm_dtype = jnp.float32 if spec["mm_f32"] else jnp.bfloat16
+    a = _to_mxu_operand(a_ref[...], spec["a_kind"], None, mm_dtype)
+    S = spec["b_sub"]
+    if S > 1:
+        # small-group (MX) mode: the K step spans S scale groups; dequantize
+        # B in VMEM with a sublane broadcast-reshape.  Exact for power-of-two
+        # (UE8M0) scales since fp8/fp4/int4 values fit bf16 losslessly.
+        bn = b_ref.shape[-1]
+        g = None
+        raw = b_ref[...]
+        if spec["b_kind"] in ("int4sk", "fp4sk"):
+            g = raw.shape[0] * 2 // S
+            p = raw.astype(jnp.uint8).astype(jnp.int32).reshape(S, g // 2, bn)
+            codes = jnp.concatenate([p & 0xF, p >> 4], axis=1)
+            x = (e2m1_decode_f32(codes) if spec["b_kind"] == "fp4sk"
+                 else codes.astype(jnp.float32))
+        else:
+            g = raw.shape[0] // S
+            x = raw.astype(jnp.float32).reshape(S, g, bn)
+        if b_z_ref is not None:
+            x = x - b_z_ref[...].astype(jnp.int32).astype(jnp.float32)
+        elif spec["b_zp_const"] is not None:
+            x = x - spec["b_zp_const"]
+        x = x * b_s_ref[...].astype(jnp.float32)     # [S, 1, bn] broadcast
+        b = x.reshape(S * g, bn).astype(mm_dtype)
+        b_s_post = None
+    else:
+        b = _to_mxu_operand(
+            b_ref[...], spec["b_kind"],
+            (b_z_ref[0] if b_z_ref is not None else spec["b_zp_const"]),
+            mm_dtype,
+        )
+        b_s_post = b_s_ref
+    part = jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # scales arrive as 3-D blocks with a leading grid-mapped group axis of
+    # size 1 (Mosaic's 2-D tiling rules reject (bm, 1)/(1, bn) blocks).
+    if a_s_ref is not None:
+        part = part * a_s_ref[0].astype(jnp.float32)   # [bm, 1]
+    if b_s_post is not None:
+        part = part * b_s_post[0].astype(jnp.float32)  # [1, bn]
+    acc_ref[:] += part
+
+    @pl.when(k == nk - 1)
+    def _():
+        out = acc_ref[:]
+        if bias_ref is not None:
+            out = out + bias_ref[...].astype(jnp.float32)
+        o_ref[:] = out.astype(o_ref.dtype)
+
+
+def quant_matmul_pallas(
+    a: jax.Array,
+    b: jax.Array,
+    *,
+    a_kind: str = "dense",
+    b_kind: str = "dense",
+    a_scale: Optional[jax.Array] = None,   # [M, K/g] group scales
+    a_group_k: int = 0,
+    b_scale: Optional[jax.Array] = None,   # [K/g, N] (N-dense)
+    b_zp=None,                             # [K/g, N] array | float const
+    b_group_k: int = 0,
+    bias: Optional[jax.Array] = None,      # [N]
+    out_dtype=jnp.bfloat16,
+    mm_f32: bool = False,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+) -> jax.Array:
+    """out[M, N] = dequant(a)[M, K] @ dequant(b)[K, N] (+ bias).
+
+    ``a`` is [M, K] (packed kinds: [M, K/2]); ``b`` is [K, N] (packed kinds:
+    [K/2, N] split-K layout).  Group scales must share one group size ``g``
+    (the op layer expands the coarser one); the K grid then steps one group
+    at a time.  Per-tensor / per-row / per-col scales are the caller's
+    epilogue.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M = a.shape[0]
+    K = a.shape[1] * (2 if a_kind in ("int4sk", "fp4sk") else 1)
+    N = b.shape[1]
+    assert b.shape[0] * (2 if b_kind in ("int4sk", "fp4sk") else 1) == K, (
+        a.shape, b.shape, a_kind, b_kind)
+
+    # K-step selection.  Mosaic tiling wants bk % 128 == 0 (or bk == K).
+    # - A group scales are applied post-dot => bk == a_group_k (>= 128;
+    #   smaller activation groups are pre-dequantized by the op layer).
+    # - B group scales: post-dot when the group is >= 128; groups < 128
+    #   (MX recipes) use the in-kernel dequant mode with S = bk/g subgroups.
+    if a_group_k:
+        assert a_group_k % 128 == 0 or a_group_k == K, (
+            "activation scale groups < 128 must be pre-dequantized by the "
+            "op layer", a_group_k)
+    b_sub = 1
+    if a_group_k and b_group_k:
+        if b_group_k >= 128:
+            g = min(a_group_k, b_group_k)
+            if a_group_k != g:
+                a_scale = jnp.repeat(a_scale, a_group_k // g, axis=1)
+            if b_group_k != g:
+                b_scale = jnp.repeat(b_scale, b_group_k // g, axis=0)
+                if isinstance(b_zp, jax.Array):
+                    b_zp = jnp.repeat(b_zp, b_group_k // g, axis=0)
+            bk = g
+        else:
+            bk = a_group_k
+            assert bk % b_group_k == 0, (a_group_k, b_group_k)
+            b_sub = bk // b_group_k
+    elif a_group_k:
+        bk = a_group_k
+    elif b_group_k:
+        if b_group_k >= 128:
+            bk = b_group_k
+        else:
+            step = b_group_k * 128 // math.gcd(b_group_k, 128)
+            step = min(step, K)
+            bk = max(step, min(block_k, K) // step * step)
+            while K % bk != 0:
+                bk -= step
+            b_sub = bk // b_group_k
+    else:
+        base = 2 if (a_kind in ("int4sk", "fp4sk")
+                     or b_kind in ("int4sk", "fp4sk")) else 1
+        bk = max(base, min(block_k, K) // base * base)
+        while K % bk != 0:
+            bk -= base
+    assert K % bk == 0 and bk >= 1, (K, bk)
+
+    bm = min(block_m, _round_up(M, 8))
+    bn = min(block_n, _round_up(N, 128))
+    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), K // bk)
+
+    apack = 2 if a_kind in ("int4sk", "fp4sk") else 1
+    bpack = 2 if b_kind in ("int4sk", "fp4sk") else 1
+
+    in_specs = [
+        pl.BlockSpec((bm, bk // apack), lambda i, j, k: (i, k)),
+        pl.BlockSpec((bk // bpack, bn), lambda i, j, k: (k, j)),
+    ]
+    operands = [a, b]
+    spec = dict(
+        a_kind=a_kind, b_kind=b_kind,
+        a_scale_group=a_scale is not None,
+        b_scale_group=b_scale is not None,
+        b_zp_group=isinstance(b_zp, jax.Array),
+        b_zp_const=float(b_zp) if isinstance(b_zp, (int, float)) else None,
+        has_bias=bias is not None,
+        mm_f32=mm_f32,
+        b_sub=b_sub,
+    )
+    # group scales go in as 3-D arrays with a leading group axis stepped by
+    # the K grid (block size 1) — Mosaic's last-two-dims tiling rules allow
+    # (bm, 1)/(1, bn) only as the trailing dims of a 3-D block.
+    if a_scale is not None:
+        assert a_scale.shape == (M, K // bk), (a_scale.shape, M, K, bk)
+        in_specs.append(
+            pl.BlockSpec((1, bm, 1), lambda i, j, k: (k, i, 0)))
+        operands.append(a_scale.T.reshape(K // bk, M, 1))
+    if b_scale is not None:
+        ng = K // bk * b_sub
+        assert b_scale.shape == (ng, N), (b_scale.shape, K, bk, b_sub, N)
+        in_specs.append(
+            pl.BlockSpec((b_sub, 1, bn), lambda i, j, k: (k, 0, j)))
+        operands.append(b_scale.reshape(ng, 1, N))
+    if spec["b_zp_group"]:
+        ng = K // bk * b_sub
+        in_specs.append(
+            pl.BlockSpec((b_sub, 1, bn), lambda i, j, k: (k, 0, j)))
+        operands.append(b_zp.reshape(ng, 1, N))
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k: (0, j)))
+        operands.append(bias.reshape(1, N))
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, spec),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=(a.size * a.dtype.itemsize
+                            + b.size * b.dtype.itemsize
+                            + M * N * jnp.dtype(out_dtype).itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(*operands)
+    return out

@@ -52,6 +52,13 @@ from vllm_xpu_kernels_tpu.ops.cache import (  # noqa: F401
     indexer_k_quant_and_cache,
     cp_gather_indexer_k_quant_cache,
 )
+from vllm_xpu_kernels_tpu.ops.gemm import (  # noqa: F401
+    fp8_gemm,
+    fp8_gemm_w8a16,
+    int4_gemm_w4a16,
+    int4_gemm_w4a8,
+    fp4_gemm,
+)
 from vllm_xpu_kernels_tpu.ops.quant import (  # noqa: F401
     static_scaled_fp8_quant,
     dynamic_scaled_fp8_quant,
