@@ -1,0 +1,260 @@
+"""Flash attention tests (mirrors reference
+tests/flash_attn/test_flash_attn_varlen_func.py ``ref_paged_attn`` golden:
+per-seq full attention with bottom-right-aligned causal/window masks,
+softcap, sinks, GQA, FP8-KV, MLA head sizes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_xpu_kernels_tpu import ops
+
+from tests.conftest import scoped
+from tests.utils import assert_allclose, keys, rand
+
+
+def np_ref_attn(q, kv_lens_k, q_lens, key, value, scale,
+                causal=False, window=(-1, -1), soft_cap=None, sink=None,
+                k_descale=None, v_descale=None):
+    """Golden per-seq attention (numpy port of ref_paged_attn,
+    test_flash_attn_varlen_func.py:30-126).  key/value are per-seq lists of
+    [kv_len, Hkv, D] arrays."""
+    outs, lses = [], []
+    start = 0
+    hq = q.shape[1]
+    for i, qlen in enumerate(q_lens):
+        kv_len = kv_lens_k[i]
+        qi = q[start:start + qlen].astype(np.float32) * scale
+        k = key[i].astype(np.float32)
+        v = value[i].astype(np.float32)
+        if k_descale is not None:
+            k = k * k_descale
+        if v_descale is not None:
+            v = v * v_descale
+        if qi.shape[1] != k.shape[1]:
+            rep = qi.shape[1] // k.shape[1]
+            k = np.repeat(k, rep, axis=1)
+            v = np.repeat(v, rep, axis=1)
+        attn = np.einsum("qhd,khd->hqk", qi, k).astype(np.float32)
+        empty = np.ones((qlen, kv_len))
+        mask = np.triu(empty, k=kv_len - qlen + 1).astype(bool)
+        wl, wr = window
+        if wl > 0 or wr > 0:
+            wr_ = wr if wr >= 0 else max(kv_lens_k)
+            wl_ = wl if wl >= 0 else max(kv_lens_k)
+            m_r = np.triu(empty, k=kv_len - qlen + wr_ + 1).astype(bool)
+            m_l = ~np.triu(empty, k=kv_len - qlen - wl_).astype(bool)
+            attn[:, m_r | m_l] = -np.inf
+        if soft_cap is not None:
+            attn = soft_cap * np.tanh(attn / soft_cap)
+        if causal:
+            attn[:, mask] = -np.inf
+        if sink is not None:
+            s = np.broadcast_to(sink.reshape(hq, 1, 1), (hq, qlen, 1))
+            attn = np.concatenate([attn, s], axis=-1)
+        m = attn.max(-1, keepdims=True)
+        p = np.exp(attn - m)
+        l = p.sum(-1, keepdims=True)
+        sm = p / l
+        lses.append((m[..., 0] + np.log(l[..., 0])))
+        if sink is not None:
+            sm = sm[..., :-1]
+        outs.append(np.einsum("hqk,khd->qhd", sm, v))
+        start += qlen
+    return np.concatenate(outs, 0), np.concatenate(lses, axis=1)
+
+
+def make_paged(seq_lens, num_heads, head_size, head_size_v, block_size,
+               num_blocks, dtype, seed=0, kv_dtype=None):
+    """Build q (packed), paged caches, block table, and per-seq k/v views."""
+    rng = np.random.default_rng(seed)
+    q_lens = [s[0] for s in seq_lens]
+    kv_lens = [s[1] for s in seq_lens]
+    hq, hkv = num_heads
+    total_q = sum(q_lens)
+    q = rng.standard_normal((total_q, hq, head_size), np.float32) * 0.5
+    kc = rng.standard_normal(
+        (num_blocks, block_size, hkv, head_size), np.float32) * 0.5
+    vc = rng.standard_normal(
+        (num_blocks, block_size, hkv, head_size_v), np.float32) * 0.5
+    max_blocks = max(-(-kv // block_size) for kv in kv_lens)
+    tbl = rng.permutation(num_blocks)[: len(seq_lens) * max_blocks]
+    tbl = tbl.reshape(len(seq_lens), max_blocks).astype(np.int32)
+    io_dtype = dtype
+    qj = jnp.asarray(q, io_dtype)
+    kv_store = kv_dtype or io_dtype
+    kj = jnp.asarray(kc, kv_store)
+    vj = jnp.asarray(vc, kv_store)
+    # per-seq contiguous kv views for the golden (in *stored* precision)
+    keys_, vals_ = [], []
+    kc_s = np.asarray(kj, np.float32)
+    vc_s = np.asarray(vj, np.float32)
+    for i, kv in enumerate(kv_lens):
+        nb = -(-kv // block_size)
+        keys_.append(kc_s[tbl[i, :nb]].reshape(-1, hkv, head_size)[:kv])
+        vals_.append(vc_s[tbl[i, :nb]].reshape(-1, hkv, head_size_v)[:kv])
+    cu_q = np.concatenate([[0], np.cumsum(q_lens)]).astype(np.int32)
+    return (qj, kj, vj, jnp.asarray(cu_q), jnp.asarray(kv_lens, jnp.int32),
+            jnp.asarray(tbl), q_lens, kv_lens, keys_, vals_,
+            np.asarray(qj, np.float32))
+
+
+SEQ_LENS = [[(1, 1328), (5, 18), (129, 463)]]
+DECODE_LENS = [[(1, 1025), (1, 523), (1, 37)]]
+
+
+@pytest.mark.parametrize("seq_lens", SEQ_LENS)
+@pytest.mark.parametrize("head_size", scoped([64, 128, 256], ci=[64, 128]))
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("window", scoped(
+    [(-1, -1), (127, -1), (64, 64)], ci=[(-1, -1), (127, -1)]))
+def test_varlen_paged(seq_lens, head_size, causal, window, impl):
+    qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \
+        make_paged(seq_lens, (8, 2), head_size, head_size, 16, 512,
+                   jnp.bfloat16)
+    scale = head_size ** -0.5
+    out = ops.flash_attn_varlen_func(
+        qj, kj, vj, max(q_lens), cu_q, max(kv_lens),
+        seqused_k=used_k, block_table=tbl, causal=causal,
+        window_size=window, softmax_scale=scale)
+    golden, _ = np_ref_attn(qf, kv_lens, q_lens, keys_, vals_, scale,
+                            causal=causal, window=window)
+    assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("seq_lens", SEQ_LENS)
+def test_varlen_nonpaged(seq_lens, impl):
+    head_size = 128
+    rng = np.random.default_rng(3)
+    q_lens = [s[0] for s in seq_lens]
+    kv_lens = [s[1] for s in seq_lens]
+    hq, hkv = 8, 2
+    q = rng.standard_normal((sum(q_lens), hq, head_size), np.float32) * 0.5
+    k = rng.standard_normal((sum(kv_lens), hkv, head_size), np.float32) * 0.5
+    v = rng.standard_normal((sum(kv_lens), hkv, head_size), np.float32) * 0.5
+    cu_q = np.concatenate([[0], np.cumsum(q_lens)]).astype(np.int32)
+    cu_k = np.concatenate([[0], np.cumsum(kv_lens)]).astype(np.int32)
+    qj = jnp.asarray(q, jnp.bfloat16)
+    kj = jnp.asarray(k, jnp.bfloat16)
+    vj = jnp.asarray(v, jnp.bfloat16)
+    scale = head_size ** -0.5
+    out, lse = ops.flash_attn_varlen_func(
+        qj, kj, vj, max(q_lens), jnp.asarray(cu_q), max(kv_lens),
+        cu_seqlens_k=jnp.asarray(cu_k), causal=True, softmax_scale=scale,
+        return_softmax_lse=True)
+    keys_ = [np.asarray(kj, np.float32)[cu_k[i]:cu_k[i + 1]]
+             for i in range(len(kv_lens))]
+    vals_ = [np.asarray(vj, np.float32)[cu_k[i]:cu_k[i + 1]]
+             for i in range(len(kv_lens))]
+    golden, golden_lse = np_ref_attn(
+        np.asarray(qj, np.float32), kv_lens, q_lens, keys_, vals_, scale,
+        causal=True)
+    assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
+    assert lse.shape == (hq, sum(q_lens))
+    assert_allclose(lse, golden_lse, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("seq_lens", DECODE_LENS)
+@pytest.mark.parametrize("head_size", scoped([64, 128, 256], ci=[64, 128]))
+@pytest.mark.parametrize("block_size", scoped([16, 64], ci=[16]))
+@pytest.mark.parametrize("window", [(-1, -1), (127, -1)])
+def test_decode_paged(seq_lens, head_size, block_size, window, impl):
+    qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \
+        make_paged(seq_lens, (8, 2), head_size, head_size, block_size, 256,
+                   jnp.bfloat16, seed=1)
+    scale = head_size ** -0.5
+    out = ops.flash_attn_varlen_func(
+        qj, kj, vj, 1, cu_q, max(kv_lens),
+        seqused_k=used_k, block_table=tbl, causal=True,
+        window_size=window, softmax_scale=scale, num_splits_kv=8)
+    golden, _ = np_ref_attn(qf, kv_lens, q_lens, keys_, vals_, scale,
+                            causal=True, window=window)
+    assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("kind", ["sink", "softcap", "fp8kv"])
+def test_decode_features(kind, impl):
+    seq_lens = [(1, 200), (1, 37)]
+    hq, hkv, d = 8, 2, 128
+    kv_dtype = jnp.float8_e4m3fn if kind == "fp8kv" else None
+    qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \
+        make_paged(seq_lens, (hq, hkv), d, d, 16, 64, jnp.bfloat16, seed=2,
+                   kv_dtype=kv_dtype)
+    scale = d ** -0.5
+    sink = softcap = kd = vd = None
+    kwargs = {}
+    if kind == "sink":
+        sink = np.linspace(-1.0, 1.0, hq).astype(np.float32)
+        kwargs["s_aux"] = jnp.asarray(sink)
+    elif kind == "softcap":
+        softcap = 30.0
+        kwargs["softcap"] = softcap
+    else:
+        kd, vd = 1.7, 0.6
+        kwargs["k_descale"] = jnp.float32(kd)
+        kwargs["v_descale"] = jnp.float32(vd)
+    out = ops.flash_attn_varlen_func(
+        qj, kj, vj, 1, cu_q, max(kv_lens),
+        seqused_k=used_k, block_table=tbl, causal=True,
+        softmax_scale=scale, **kwargs)
+    golden, _ = np_ref_attn(qf, kv_lens, q_lens, keys_, vals_, scale,
+                            causal=True, soft_cap=softcap, sink=sink,
+                            k_descale=kd, v_descale=vd)
+    assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
+
+
+def test_decode_mla(impl):
+    """MLA shapes: head_size_qk != head_size_vo
+    (reference: test_decode_with_paged_kv_mla, head_size 192/128)."""
+    seq_lens = [(1, 130), (1, 37)]
+    qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \
+        make_paged(seq_lens, (8, 1), 192, 128, 16, 64, jnp.bfloat16, seed=4)
+    scale = 192 ** -0.5
+    out = ops.flash_attn_varlen_func(
+        qj, kj, vj, 1, cu_q, max(kv_lens),
+        seqused_k=used_k, block_table=tbl, causal=True, softmax_scale=scale)
+    golden, _ = np_ref_attn(qf, kv_lens, q_lens, keys_, vals_, scale,
+                            causal=True)
+    assert out.shape == (2, 8, 128)
+    assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
+
+
+def test_merge_attn_states(impl):
+    """Splitting KV in half and LSE-merging equals full attention
+    (reference: csrc/attention/merge_attn_states.cpp contract)."""
+    rng = np.random.default_rng(5)
+    t, h, d, kv = 12, 4, 64, 96
+    q = rng.standard_normal((t, h, d), np.float32) * 0.5
+    k = rng.standard_normal((kv, h, d), np.float32) * 0.5
+    v = rng.standard_normal((kv, h, d), np.float32) * 0.5
+    scale = d ** -0.5
+
+    def full(ks, vs):
+        attn = np.einsum("qhd,khd->hqk", q * scale, ks)
+        m = attn.max(-1, keepdims=True)
+        p = np.exp(attn - m)
+        l = p.sum(-1, keepdims=True)
+        o = np.einsum("hqk,khd->qhd", p / l, vs)
+        return o, (m[..., 0] + np.log(l[..., 0]))
+
+    golden, _ = full(k, v)
+    o1, lse1 = full(k[:48], v[:48])
+    o2, lse2 = full(k[48:], v[48:])
+    out, lse = ops.merge_attn_states(
+        jnp.asarray(o1), jnp.asarray(lse1), jnp.asarray(o2),
+        jnp.asarray(lse2))
+    assert_allclose(out, golden, rtol=1e-4, atol=1e-4)
+
+
+def test_build_decode_split_plan():
+    """Split plan correctness contract (reference:
+    docs/group_split_kv_design.md:93-106)."""
+    from vllm_xpu_kernels_tpu.ops.attention import build_decode_split_plan
+
+    kv_lens = [16, 4096, 128, 100000]
+    splits = build_decode_split_plan(kv_lens, kv_tile=64, num_kv_splits=16)
+    assert len(splits) == 4
+    assert all(s >= 1 for s in splits)
+    assert all(s <= 16 for s in splits)
+    assert splits[0] == 1  # short seq: single split

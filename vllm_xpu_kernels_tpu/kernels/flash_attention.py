@@ -1,0 +1,460 @@
+"""Pallas flash attention kernels: chunked varlen prefill + paged decode.
+
+TPU-native re-design of the reference's two CUTLASS-SYCL attention kernels
+(reference: csrc/xpu/attn/xe_2/kernel/chunk_prefill_kernel.hpp:70 varlen
+prefill mainloop, paged_decode_kernel.hpp:67 split-KV decode + ReduceSplitK,
+work-list scheduler chunk_prefill_scheduler.hpp:93-220).
+
+Key design translations:
+
+- **Paged KV gather**: the reference's kernels walk block tables inside the
+  device loop; here the block-table indirection lives in the BlockSpec
+  ``index_map`` reading a scalar-prefetched table, so the Pallas pipeline
+  double-buffers page DMAs automatically (one KV tile == one cache page).
+- **Split-KV**: the reference oversubscribes Xe cores with per-seq splits
+  planned on host (docs/group_split_kv_design.md).  A TPU core executes the
+  grid *sequentially* with pipelined DMAs, so splits buy nothing — the
+  decode kernel uses a dense (seq, kv_head, kv_tile) grid with masked tail
+  tiles instead, and ``num_splits_kv`` is accepted for API parity but
+  ignored.  (On multi-core megachips XLA still parallelizes over the
+  "parallel" grid dims.)
+- **Kernel-variant matrix**: the reference precompiles 216+384 static
+  configs (.conf codegen); here every (head_size, page_size, flags) combo is
+  jit-specialized at trace time.
+- Online softmax uses the standard rescaled accumulation
+  (chunk_prefill_mainloop.hpp's softmax-rescale), with sinks folded into the
+  final max/denominator and fully-masked rows yielding zeros.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vllm_xpu_kernels_tpu.registry import interpret_mode
+
+_NEG = -1e30
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(a, b):
+    return _cdiv(a, b) * b
+
+
+# ---------------------------------------------------------------------------
+# shared online-softmax step
+# ---------------------------------------------------------------------------
+
+
+def _softmax_step(s, mask, m_ref, l_ref, acc_ref, vtile, first):
+    """One KV-tile update.  s [rows, bkv] f32 logits (pre-mask), mask bool
+    (True = masked out), vtile [bkv, Dv] f32."""
+    s = jnp.where(mask, -jnp.inf, s)
+    cur = jnp.max(s, axis=-1, keepdims=True)
+    if first:
+        m_new = jnp.maximum(cur, _NEG)
+        p = jnp.exp(s - m_new)
+        l_new = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jnp.dot(p.astype(vtile.dtype), vtile,
+                      preferred_element_type=jnp.float32)
+    else:
+        m_old = m_ref[...]
+        m_new = jnp.maximum(jnp.maximum(cur, m_old), _NEG)
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc_ref[...] * alpha + jnp.dot(
+            p.astype(vtile.dtype), vtile, preferred_element_type=jnp.float32)
+    m_ref[...] = m_new
+    l_ref[...] = l_new
+    acc_ref[...] = acc
+
+
+def _finalize(m_ref, l_ref, acc_ref, sink_vec):
+    """-> (out [rows, Dv], lse [rows, 1]).  sink_vec: [rows, 1] f32 or None
+    (per-row attention-sink logit)."""
+    m = m_ref[...]
+    l = l_ref[...]
+    acc = acc_ref[...]
+    if sink_vec is not None:
+        m_f = jnp.maximum(m, sink_vec)
+        corr = jnp.exp(m - m_f)
+        l = l * corr + jnp.exp(sink_vec - m_f)
+        acc = acc * corr
+        m = m_f
+    out = acc / jnp.maximum(l, 1e-38)
+    lse = m + jnp.log(jnp.maximum(l, 1e-38))
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# paged split-KV decode (reference: paged_decode_kernel.hpp)
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(
+    spec,
+    # scalar prefetch
+    kv_lens_ref, tbl_ref, sink_ref, descale_ref,
+    # tensor inputs
+    q_ref,            # [1, 1, G, D]
+    k_ref,            # [1, 1, bs, D]   (native cache layout [nb, hkv, bs, D])
+    v_ref,            # [1, 1, bs, Dv]
+    # outputs
+    o_ref,            # [1, 1, G, Dv]
+    lse_ref,          # [1, 1, G, 1]
+    # scratch
+    m_ref, l_ref, acc_ref,
+):
+    import jax.experimental.pallas as pl
+
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    j = pl.program_id(2)
+    bs = spec["bs"]
+    g = spec["g"]
+
+    kv_len = kv_lens_ref[b]
+    n_tiles = jnp.maximum((kv_len + bs - 1) // bs, 1)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j < n_tiles)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * spec["scale"]   # [G, D]
+        k = k_ref[0, 0].astype(jnp.float32)                   # [bs, D]
+        v = v_ref[0, 0].astype(jnp.float32)                   # [bs, Dv]
+        if spec["fp8_kv"]:
+            k = k * descale_ref[0, 0]
+            v = v * descale_ref[0, 1]
+        s = jnp.dot(q.astype(jnp.float32), k.T,
+                    preferred_element_type=jnp.float32)        # [G, bs]
+        if spec["softcap"]:
+            s = spec["softcap"] * jnp.tanh(s / spec["softcap"])
+        kpos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (g, bs), 1)
+        mask = kpos >= kv_len
+        if spec["window_left"] >= 0:
+            mask = mask | (kpos < kv_len - 1 - spec["window_left"])
+        _softmax_step(s, mask, m_ref, l_ref, acc_ref, v, first=False)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        sink_vec = sink_ref[0] if spec["has_sink"] else None  # [g, 1]
+        out, lse = _finalize(m_ref, l_ref, acc_ref, sink_vec)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+        lse_ref[0, 0] = lse
+
+
+def paged_decode(
+    q: jax.Array,                 # [B, Hq, D]
+    k_cache: jax.Array,           # [nb, Hkv, bs, D]  (TPU-native layout)
+    v_cache: jax.Array,           # [nb, Hkv, bs, Dv]
+    cu_seqlens_q: jax.Array,      # unused (qlen == 1), kept for symmetry
+    seqused_k: jax.Array,         # [B]
+    block_table: jax.Array,       # [B, max_blocks]
+    *,
+    scale: float,
+    window: tuple[int, int],
+    softcap: float,
+    sink: Optional[jax.Array],
+    k_descale, v_descale,
+    max_seqlen_k: int,
+    num_splits_kv: int = 0,       # accepted for parity; see module doc
+):
+    """-> (out [B, Hq, Dv], lse [Hq, B])."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    del num_splits_kv
+    b_, hq, d = q.shape
+    nb, hkv, bs, _ = k_cache.shape
+    dv = v_cache.shape[-1]
+    g = hq // hkv
+    n_tiles = _cdiv(min(max_seqlen_k, nb * bs), bs)
+
+    # layout: [B, Hkv, G, D]; the q block picks the kv-head's G q-heads
+    # (block dims equal the trailing array dims, satisfying Mosaic tiling).
+    q4 = q.reshape(b_, hkv, g, d)
+
+    sink_arr = (jnp.zeros((hkv, g, 1), jnp.float32) if sink is None
+                else sink.astype(jnp.float32).reshape(hkv, g, 1))
+    desc = jnp.stack([
+        jnp.asarray(1.0 if k_descale is None else k_descale,
+                    jnp.float32).reshape(()),
+        jnp.asarray(1.0 if v_descale is None else v_descale,
+                    jnp.float32).reshape(()),
+    ]).reshape(1, 2)
+
+    spec = dict(
+        bs=bs, g=g, scale=float(scale), softcap=float(softcap or 0.0),
+        window_left=int(window[0]), has_sink=sink is not None,
+        fp8_kv=k_cache.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2),
+    )
+
+    def q_map(b, h, j, kv_lens, tbl):
+        return (b, h, 0, 0)
+
+    def kv_map(b, h, j, kv_lens, tbl):
+        last = jnp.maximum((kv_lens[b] + bs - 1) // bs - 1, 0)
+        jc = jnp.minimum(j, last)
+        return (tbl[b, jc], h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b_, hkv, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, g, 1), lambda b, h, j, *_: (h, 0, 0)),  # sink
+            pl.BlockSpec((1, 2), lambda b, h, j, *_: (0, 0),
+                         memory_space=pltpu.SMEM),                   # descale
+            pl.BlockSpec((1, 1, g, d), q_map),
+            pl.BlockSpec((1, 1, bs, d), kv_map),
+            pl.BlockSpec((1, 1, bs, dv), kv_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, g, dv), lambda b, h, j, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, g, 1), lambda b, h, j, *_: (b, h, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, dv), jnp.float32),
+        ],
+    )
+    # sink/descale ride as tiny SMEM tensors (not prefetch: float arrays)
+    out, lse4 = pl.pallas_call(
+        functools.partial(_decode_kernel, spec),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b_, hkv, g, dv), q.dtype),
+            jax.ShapeDtypeStruct((b_, hkv, g, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret_mode(),
+    )(seqused_k.astype(jnp.int32), block_table.astype(jnp.int32),
+      sink_arr, desc, q4, k_cache, v_cache)
+    return out.reshape(b_, hq, dv), lse4.reshape(b_, hq).T
+
+
+# ---------------------------------------------------------------------------
+# chunked varlen prefill (reference: chunk_prefill_kernel.hpp)
+# ---------------------------------------------------------------------------
+
+
+def _prefill_kernel(
+    spec,
+    # scalar prefetch
+    q_lens_ref, kv_lens_ref, tbl_ref, sink_ref, descale_ref,
+    # tensors
+    q_ref,            # [1, 1, bq, D]
+    k_ref,            # [1, 1, bkv, D]   (native layout, paged or padded)
+    v_ref,
+    o_ref,            # [1, 1, bq, Dv]
+    lse_ref,          # [1, 1, bq, 1]
+    m_ref, l_ref, acc_ref,
+):
+    import jax.experimental.pallas as pl
+
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    iq = pl.program_id(2)
+    jk = pl.program_id(3)
+    bq, bkv = spec["bq"], spec["bkv"]
+
+    q_len = q_lens_ref[b]
+    kv_len = kv_lens_ref[b]
+    n_kv_tiles = jnp.maximum((kv_len + bkv - 1) // bkv, 1)
+
+    @pl.when(jk == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # causal early-out: lowest kv position this q-tile can see is bounded by
+    # (q_start + off); tiles wholly above it are skipped (masked anyway).
+    run = jk < n_kv_tiles
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * spec["scale"]      # [bq, D]
+        k = k_ref[0, 0].astype(jnp.float32)                      # [bkv, D]
+        v = v_ref[0, 0].astype(jnp.float32)                      # [bkv, Dv]
+        if spec["fp8_kv"]:
+            k = k * descale_ref[0, 0]
+            v = v * descale_ref[0, 1]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bkv]
+        if spec["softcap"]:
+            s = spec["softcap"] * jnp.tanh(s / spec["softcap"])
+        qpos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+        kpos = jk * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+        off = kv_len - q_len
+        mask = (kpos >= kv_len) | (qpos >= q_len)
+        if spec["causal"]:
+            mask = mask | (kpos > qpos + off)
+        if spec["window_right"] >= 0:
+            mask = mask | (kpos > qpos + off + spec["window_right"])
+        if spec["window_left"] >= 0:
+            mask = mask | (kpos < qpos + off - spec["window_left"])
+        _softmax_step(s, mask, m_ref, l_ref, acc_ref, v, first=False)
+
+    @pl.when(jk == pl.num_programs(3) - 1)
+    def _():
+        sink_vec = None
+        if spec["has_sink"]:
+            sv = sink_ref[0, h]
+            sink_vec = jnp.full((bq, 1), sv, jnp.float32)
+        out, lse = _finalize(m_ref, l_ref, acc_ref, sink_vec)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+        lse_ref[0, 0] = lse
+
+
+def chunk_prefill(
+    q: jax.Array,                       # [total_q, Hq, D] packed varlen
+    k: jax.Array,                       # paged [nb, Hkv, bs, D] | packed [total_k, Hkv, D]
+    v: jax.Array,
+    cu_seqlens_q: jax.Array,
+    cu_seqlens_k: Optional[jax.Array],
+    seqused_k: Optional[jax.Array],
+    block_table: Optional[jax.Array],
+    *,
+    max_seqlen_q: int,
+    max_seqlen_k: int,
+    scale: float,
+    causal: bool,
+    window: tuple[int, int],
+    softcap: float,
+    sink: Optional[jax.Array],
+    k_descale, v_descale,
+    block_q: int = 256,
+):
+    """-> (out [total_q, Hq, Dv], lse [Hq, total_q])."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vllm_xpu_kernels_tpu.ops import attention as attn_ops
+
+    total_q, hq, d = q.shape
+    paged = block_table is not None
+    if paged:
+        nb, hkv, bs, _ = k.shape
+        dv = v.shape[-1]
+        bkv = bs
+        kv_limit = min(max_seqlen_k, nb * bs)
+    else:
+        hkv = k.shape[1]
+        dv = v.shape[-1]
+        bkv = min(512, _round_up(max_seqlen_k, 128))
+        kv_limit = max_seqlen_k
+    g = hq // hkv
+    batch = int(cu_seqlens_q.shape[0]) - 1
+    bq = min(block_q, _round_up(max_seqlen_q, 8))
+    qp = _round_up(max_seqlen_q, bq)
+    n_q_tiles = qp // bq
+    n_kv_tiles = _cdiv(kv_limit, bkv)
+
+    q_lens = (cu_seqlens_q[1:] - cu_seqlens_q[:-1]).astype(jnp.int32)
+    if paged:
+        kv_lens = seqused_k.astype(jnp.int32)
+        tbl = block_table.astype(jnp.int32)
+    else:
+        kv_lens = (cu_seqlens_k[1:] - cu_seqlens_k[:-1]).astype(jnp.int32)
+        tbl = jnp.zeros((batch, 1), jnp.int32)
+
+    # pad q per-seq: [B, Hq, Qp, D]
+    qpad, _, _ = attn_ops._gather_padded_q(q, cu_seqlens_q, batch, qp)
+    qpad = qpad.transpose(0, 2, 1, 3)  # [B, Hq, Qp, D]
+    if not paged:
+        kp = _round_up(kv_limit, bkv)
+        kpad = attn_ops._gather_padded_kv_packed(
+            k, cu_seqlens_k, batch, kp).transpose(0, 2, 1, 3)  # [B,Hkv,Kp,D]
+        vpad = attn_ops._gather_padded_kv_packed(
+            v, cu_seqlens_k, batch, kp).transpose(0, 2, 1, 3)
+
+    sink_arr = (jnp.zeros((1, hq), jnp.float32) if sink is None
+                else sink.astype(jnp.float32).reshape(1, hq))
+    desc = jnp.stack([
+        jnp.asarray(1.0 if k_descale is None else k_descale,
+                    jnp.float32).reshape(()),
+        jnp.asarray(1.0 if v_descale is None else v_descale,
+                    jnp.float32).reshape(()),
+    ]).reshape(1, 2)
+    spec = dict(
+        bq=bq, bkv=bkv, g=g, scale=float(scale), causal=bool(causal),
+        softcap=float(softcap or 0.0),
+        window_left=int(window[0]), window_right=int(window[1]),
+        has_sink=sink is not None,
+        fp8_kv=(k.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)),
+    )
+
+    def q_map(b, h, iq, jk, *_):
+        return (b, h, iq, 0)
+
+    if paged:
+        def kv_map(b, h, iq, jk, q_lens, kv_lens, tbl):
+            last = jnp.maximum((kv_lens[b] + bkv - 1) // bkv - 1, 0)
+            jc = jnp.minimum(jk, last)
+            return (tbl[b, jc], h // g, 0, 0)
+        k_spec = pl.BlockSpec((1, 1, bkv, d), kv_map)
+        v_spec = pl.BlockSpec((1, 1, bkv, dv), kv_map)
+        k_in, v_in = k, v
+    else:
+        def kv_map(b, h, iq, jk, *_):
+            return (b, h // g, jk, 0)
+        k_spec = pl.BlockSpec((1, 1, bkv, d), kv_map)
+        v_spec = pl.BlockSpec((1, 1, bkv, dv), kv_map)
+        k_in, v_in = kpad, vpad
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(batch, hq, n_q_tiles, n_kv_tiles),
+        in_specs=[
+            pl.BlockSpec((1, hq), lambda b, h, iq, jk, *_: (0, 0),
+                         memory_space=pltpu.SMEM),   # per-q-head sinks
+            pl.BlockSpec((1, 2), lambda *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, bq, d), q_map),
+            k_spec,
+            v_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, dv),
+                         lambda b, h, iq, jk, *_: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, bq, 1),
+                         lambda b, h, iq, jk, *_: (b, h, iq, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, dv), jnp.float32),
+        ],
+    )
+    opad, lsepad = pl.pallas_call(
+        functools.partial(_prefill_kernel, spec),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, hq, qp, dv), q.dtype),
+            jax.ShapeDtypeStruct((batch, hq, qp, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret_mode(),
+    )(q_lens, kv_lens, tbl, sink_arr, desc, qpad, k_in, v_in)
+
+    seq_of_row, pos_of_row = attn_ops._row_maps(cu_seqlens_q, total_q, batch)
+    out = opad[seq_of_row, :, pos_of_row]        # [total_q, Hq, Dv]
+    lse = lsepad[seq_of_row, :, pos_of_row, 0].T  # [Hq, total_q]
+    return out, lse

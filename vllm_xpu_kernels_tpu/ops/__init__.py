@@ -52,6 +52,11 @@ from vllm_xpu_kernels_tpu.ops.cache import (  # noqa: F401
     indexer_k_quant_and_cache,
     cp_gather_indexer_k_quant_cache,
 )
+from vllm_xpu_kernels_tpu.ops.attention import (  # noqa: F401
+    flash_attn_varlen_func,
+    merge_attn_states,
+    build_decode_split_plan,
+)
 from vllm_xpu_kernels_tpu.ops.gemm import (  # noqa: F401
     fp8_gemm,
     fp8_gemm_w8a16,
