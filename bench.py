@@ -1,0 +1,150 @@
+"""End-to-end decode benchmark: Llama-3-8B FP8 (weight-only) continuous
+decode on one chip, paged KV cache.
+
+Prints ONE JSON line:
+  {"metric": "llama3_8b_fp8_decode", "value": <tokens/s/chip>,
+   "unit": "tok/s", "vs_baseline": <fraction of HBM roofline>}
+
+Methodology mirrors the reference's roofline-relative reporting
+(reference: benchmark/presets.py, benchmark_gemm_onednn.py:516-626 — no
+absolute numbers are published, every kernel reports % of hardware peak).
+Roofline for batched decode = weight bytes + KV bytes touched per step over
+HBM bandwidth.
+
+Scaled-down config via --small (CI / CPU smoke).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+HBM_GBPS = {
+    # chip -> HBM bandwidth GB/s (public specs; v5e: 819 GB/s)
+    "v5e": 819.0,
+    "v4": 1228.0,
+    "v5p": 2765.0,
+    "v6e": 1640.0,
+    "cpu": 50.0,
+}
+
+
+def _chip_kind():
+    import jax
+
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "cpu").lower()
+    for k in ("v5e", "v5p", "v6e", "v4"):
+        if k in kind.replace(" ", ""):
+            return k
+    if "v5 lite" in kind or "v5lite" in kind:
+        return "v5e"
+    return "cpu" if d.platform == "cpu" else "v5e"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="tiny config smoke run")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--kv-len", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from vllm_xpu_kernels_tpu.models import (
+        LlamaConfig, init_params, init_kv_cache, decode_step)
+    from vllm_xpu_kernels_tpu.models.runtime import (
+        BlockManager, build_decode_batch)
+
+    if args.small:
+        cfg = LlamaConfig(
+            hidden_size=512, num_layers=4, num_q_heads=8, num_kv_heads=4,
+            head_dim=64, intermediate_size=1024, vocab_size=2048,
+            max_position=2048, quant="fp8", block_size=16)
+        args.batch, args.kv_len, args.steps = 4, 64, 3
+    else:
+        cfg = LlamaConfig(quant="fp8", block_size=128, max_position=16384)
+
+    bs = cfg.block_size
+    blocks_per_seq = -(-(args.kv_len + args.steps + 1) // bs)
+    num_blocks = args.batch * blocks_per_seq + 1
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    kc, vc = init_kv_cache(cfg, num_blocks)
+
+    # continuous-batching state: B sequences mid-generation
+    mgr = BlockManager(num_blocks, bs)
+    seq_ids = list(range(args.batch))
+    for sid in seq_ids:
+        mgr.allocate(sid, args.kv_len)
+    max_blocks = blocks_per_seq
+    max_k = max_blocks * bs
+
+    # Pre-plan S steps of block-manager state on host (positions, slots,
+    # kv_lens evolve deterministically), then run the whole generation loop
+    # device-side under one jit: decode -> argmax -> next token.  One
+    # dispatch for S steps amortizes host/tunnel overhead exactly like a
+    # production on-device sampling loop.
+    steps_plan = [build_decode_batch(mgr, seq_ids,
+                                     np.zeros(args.batch, np.int64),
+                                     max_blocks=max_blocks)
+                  for _ in range(args.steps)]
+    pos_s = jnp.asarray(np.stack([b.positions for b in steps_plan]))
+    slot_s = jnp.asarray(np.stack([b.slot_mapping for b in steps_plan]))
+    kvl_s = jnp.asarray(np.stack([b.kv_lens for b in steps_plan]))
+    tbl = jnp.asarray(steps_plan[0].block_table)
+
+    def multi_step(p, tok0, pos_s, slot_s, kvl_s, tbl, kc, vc):
+        def body(carry, xs):
+            tok, kc, vc = carry
+            pos, slots, kvl = xs
+            logits, kc, vc = decode_step(
+                cfg, p, tok, pos, slots, tbl, kvl, kc, vc,
+                max_seqlen_k=max_k)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (nxt, kc, vc), None
+        (tok, kc, vc), _ = jax.lax.scan(
+            body, (tok0, kc, vc), (pos_s, slot_s, kvl_s))
+        return tok, kc, vc
+
+    run = jax.jit(multi_step, donate_argnums=(6, 7))
+    tok0 = jnp.zeros((args.batch,), jnp.int32)
+
+    tok, kc, vc = run(params, tok0, pos_s, slot_s, kvl_s, tbl, kc, vc)
+    _ = np.asarray(tok)  # force full execution (compile + warmup)
+
+    t0 = time.perf_counter()
+    tok, kc, vc = run(params, tok0, pos_s, slot_s, kvl_s, tbl, kc, vc)
+    _ = np.asarray(tok)  # device->host readback flushes the tunnel
+    dt = time.perf_counter() - t0
+    tok_s = args.batch * args.steps / dt
+
+    # ---- roofline --------------------------------------------------------
+    e, l_, i = cfg.hidden_size, cfg.num_layers, cfg.intermediate_size
+    hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    wbytes_layer = (e * (hq + 2 * hkv) * d + hq * d * e + 3 * e * i)
+    wbytes = l_ * wbytes_layer * (1 if cfg.quant == "fp8" else 2)
+    wbytes += cfg.vocab_size * e * 2  # tied embed/lm_head bf16
+    kv_bytes = (np.minimum(args.kv_len + args.steps, max_k) * 2 * hkv * d
+                * 2 * l_ * args.batch)  # k+v bf16, whole batch
+    step_bytes = wbytes + kv_bytes
+    bw = HBM_GBPS[_chip_kind()] * 1e9
+    roofline_tok_s = args.batch / (step_bytes / bw)
+    frac = tok_s / roofline_tok_s
+
+    print(json.dumps({
+        "metric": "llama3_8b_fp8_decode" if not args.small
+        else "llama_small_fp8_decode",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(frac, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

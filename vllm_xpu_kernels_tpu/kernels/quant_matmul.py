@@ -241,15 +241,17 @@ def quant_matmul_pallas(
     elif a_group_k:
         bk = a_group_k
     elif b_group_k:
-        if b_group_k >= 128:
-            bk = b_group_k
-        else:
-            step = b_group_k * 128 // math.gcd(b_group_k, 128)
-            step = min(step, K)
-            bk = max(step, min(block_k, K) // step * step)
-            while K % bk != 0:
-                bk -= step
-            b_sub = bk // b_group_k
+        # Use the in-kernel dequant mode with as large a K step as fits —
+        # fewer grid steps amortize per-step overhead.  (Post-dot scaling
+        # would force bk == group; dequant-in-VMEM rounds dequantized
+        # values to bf16, which matches the reference's dequant-then-matmul
+        # numerics and is exact for power-of-two scales.)
+        step = b_group_k * 128 // math.gcd(b_group_k, 128)
+        step = min(step, K)
+        bk = max(step, min(block_k, K) // step * step)
+        while K % bk != 0:
+            bk -= step
+        b_sub = bk // b_group_k
     else:
         base = 2 if (a_kind in ("int4sk", "fp4sk")
                      or b_kind in ("int4sk", "fp4sk")) else 1

@@ -1,0 +1,15 @@
+"""Flagship model definitions for end-to-end serving benchmarks.
+
+The reference is a kernel plugin — vLLM owns the models.  Per the north
+star this engine goes further: model layers built entirely from the op
+surface (norm → rope → quant GEMM → paged attention → cache write →
+activation), TP-aware via shard_map.
+"""
+
+from vllm_xpu_kernels_tpu.models.llama import (  # noqa: F401
+    LlamaConfig,
+    init_params,
+    init_kv_cache,
+    decode_step,
+    prefill_step,
+)

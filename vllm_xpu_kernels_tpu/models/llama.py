@@ -1,0 +1,295 @@
+"""Llama-3-family decoder built from this engine's op surface.
+
+Every hot op in the layer maps to a reference-parity op from ops/:
+fused_add_rms_norm (csrc/layernorm.cpp) → rotary_embedding
+(csrc/pos_encoding_kernels.cpp) → fp8_gemm_w8a16 / bf16 matmul
+(csrc/xpu/onednn) → reshape_and_cache_tpu (csrc/cache.cpp) →
+flash_attn_varlen_func (csrc/flash_attn) → silu_and_mul
+(csrc/activation.cpp).
+
+Layer weights are stacked along a leading layer axis and the block runs
+under ``lax.scan`` — one traced layer body regardless of depth (compile
+time stays flat; the reference's analogue is per-op kernel reuse).
+
+TP: pass ``tp_axis`` when calling inside ``shard_map`` — head/column
+shards stay local, ``psum`` after the row-parallel o-proj and down-proj
+(Megatron-style; the reference encodes the same contract implicitly via
+per-rank head-count args, flash_api.cpp:349-360).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vllm_xpu_kernels_tpu import ops
+from vllm_xpu_kernels_tpu.parallel.mesh import tp_psum
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_q_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    intermediate_size: int = 14336
+    vocab_size: int = 128256
+    rope_theta: float = 500000.0
+    rms_eps: float = 1e-5
+    max_position: int = 8192
+    dtype: str = "bfloat16"
+    quant: str = "none"          # none | fp8  (weight-only w8a16)
+    block_size: int = 128        # KV page size (TPU tiling-friendly)
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    def tp_slice(self, tp: int) -> "LlamaConfig":
+        """Per-rank config with heads/columns divided (the reference's
+        'shapes pre-resolved with TP division applied',
+        benchmark/benchmark_gemm_onednn.py:87)."""
+        assert self.num_q_heads % tp == 0 and self.num_kv_heads % tp == 0
+        assert self.intermediate_size % tp == 0
+        return dataclasses.replace(
+            self,
+            num_q_heads=self.num_q_heads // tp,
+            num_kv_heads=self.num_kv_heads // tp,
+            intermediate_size=self.intermediate_size // tp,
+        )
+
+
+def _rope_cache(cfg: LlamaConfig):
+    rot = cfg.head_dim
+    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, rot, 2, dtype=jnp.float32)
+                                    / rot))
+    t = jnp.arange(cfg.max_position, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv)
+    return jnp.concatenate([jnp.cos(freqs), jnp.sin(freqs)], axis=-1)
+
+
+def _init_linear(key, fan_in, fan_out, cfg, quant_cols=True):
+    """-> dict with 'w' (+'s' scale when fp8).  fp8 weights are stored
+    [K, N] e4m3 with per-channel (per-N) scales."""
+    w = jax.random.normal(key, (fan_in, fan_out), jnp.float32)
+    w = w * (2.0 / (fan_in + fan_out)) ** 0.5
+    if cfg.quant == "fp8":
+        absmax = jnp.max(jnp.abs(w), axis=0) + 1e-8
+        s = (absmax / 448.0).astype(jnp.float32)
+        q = jnp.clip(w / s[None, :], -448.0, 448.0).astype(jnp.float8_e4m3fn)
+        return {"w": q, "s": s}
+    return {"w": w.astype(cfg.jdtype)}
+
+
+def _linear(x, p, tp_axis=None, reduce_out=False):
+    if "s" in p:
+        out = ops.fp8_gemm_w8a16(x, p["w"], p["s"])
+    else:
+        out = jnp.dot(x, p["w"], preferred_element_type=jnp.float32
+                      ).astype(x.dtype)
+    if reduce_out:
+        out = tp_psum(out, tp_axis)
+    return out
+
+
+def init_params(cfg: LlamaConfig, key=None):
+    """Random-initialized parameter pytree (benchmark weights; checkpoint
+    loading maps HF tensors onto the same tree)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    e = cfg.hidden_size
+    hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    i = cfg.intermediate_size
+    n_lin = 7
+    keys = jax.random.split(key, cfg.num_layers * n_lin + 2)
+
+    def stack(maker):
+        outs = [maker(li) for li in range(cfg.num_layers)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+    layers = {
+        "ln1": jnp.ones((cfg.num_layers, e), cfg.jdtype),
+        "ln2": jnp.ones((cfg.num_layers, e), cfg.jdtype),
+        "wq": stack(lambda li: _init_linear(keys[li * n_lin + 0], e, hq * d, cfg)),
+        "wk": stack(lambda li: _init_linear(keys[li * n_lin + 1], e, hkv * d, cfg)),
+        "wv": stack(lambda li: _init_linear(keys[li * n_lin + 2], e, hkv * d, cfg)),
+        "wo": stack(lambda li: _init_linear(keys[li * n_lin + 3], hq * d, e, cfg)),
+        "wg": stack(lambda li: _init_linear(keys[li * n_lin + 4], e, i, cfg)),
+        "wu": stack(lambda li: _init_linear(keys[li * n_lin + 5], e, i, cfg)),
+        "wd": stack(lambda li: _init_linear(keys[li * n_lin + 6], i, e, cfg)),
+    }
+    embed = (jax.random.normal(keys[-2], (cfg.vocab_size, e), jnp.float32)
+             * 0.02).astype(cfg.jdtype)
+    return {
+        "layers": layers,
+        "embed": embed,                       # tied with lm_head
+        "final_ln": jnp.ones((e,), cfg.jdtype),
+        "rope": _rope_cache(cfg),
+    }
+
+
+def init_kv_cache(cfg: LlamaConfig, num_blocks: int, kv_dtype=None):
+    """Paged KV cache, TPU-native layout [L, nb, Hkv, bs, D] (see
+    kernels/flash_attention.py)."""
+    kv_dtype = kv_dtype or cfg.jdtype
+    shape = (cfg.num_layers, num_blocks, cfg.num_kv_heads, cfg.block_size,
+             cfg.head_dim)
+    return jnp.zeros(shape, kv_dtype), jnp.zeros(shape, kv_dtype)
+
+
+def param_tp_specs(cfg: LlamaConfig, tp_axis: str = "tp"):
+    """PartitionSpec pytree matching init_params: column-parallel
+    projections shard outputs over tp, row-parallel shard inputs
+    (Megatron layout; collectives inserted by the psum calls in the
+    layer body when running under shard_map)."""
+    from jax.sharding import PartitionSpec as P
+
+    col = {"w": P(None, None, tp_axis)}
+    row = {"w": P(None, tp_axis, None)}
+    if cfg.quant == "fp8":
+        col = {"w": P(None, None, tp_axis), "s": P(None, tp_axis)}
+        row = {"w": P(None, tp_axis, None), "s": P(None)}
+    return {
+        "layers": {
+            "ln1": P(), "ln2": P(),
+            "wq": dict(col), "wk": dict(col), "wv": dict(col),
+            "wo": dict(row),
+            "wg": dict(col), "wu": dict(col),
+            "wd": dict(row),
+        },
+        "embed": P(),
+        "final_ln": P(),
+        "rope": P(),
+    }
+
+
+def kv_cache_tp_spec(tp_axis: str = "tp", dp_axis=None):
+    """Cache [L, nb, Hkv, bs, D]: KV heads sharded over tp; with dp, the
+    block pool itself is sharded (each dp replica owns its own pages and
+    block tables index the local pool)."""
+    from jax.sharding import PartitionSpec as P
+
+    return P(None, dp_axis, tp_axis)
+
+
+def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
+                     block_table, kv_lens, cu_q, max_q, max_k, tp_axis,
+                     k_scale=None, v_scale=None):
+    t = x.shape[0]
+    hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    q = _linear(x, lp["wq"])
+    k = _linear(x, lp["wk"])
+    v = _linear(x, lp["wv"])
+    q, k = ops.rotary_embedding(positions, q, k, d, rope, is_neox=True)
+    fp8kv = kc_l.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
+    kc_l, vc_l = ops.reshape_and_cache_tpu(
+        k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l, vc_l,
+        slot_mapping,
+        kv_cache_dtype="fp8" if fp8kv else "auto",
+        k_scale=k_scale, v_scale=v_scale)
+    attn = ops.flash_attn_varlen_func(
+        q.reshape(t, hq, d), kc_l, vc_l, max_q, cu_q, max_k,
+        seqused_k=kv_lens, block_table=block_table, causal=True,
+        kv_layout="bhsd",
+        k_descale=k_scale, v_descale=v_scale)
+    out = _linear(attn.reshape(t, hq * d), lp["wo"], tp_axis,
+                  reduce_out=True)
+    return out, kc_l, vc_l
+
+
+def _mlp_block(cfg, lp, x, tp_axis):
+    g = _linear(x, lp["wg"])
+    u = _linear(x, lp["wu"])
+    act = ops.silu_and_mul(jnp.concatenate([g, u], axis=-1))
+    return _linear(act, lp["wd"], tp_axis, reduce_out=True)
+
+
+def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
+                    block_table, kv_lens, cu_q, max_q, max_k,
+                    k_cache, v_cache, tp_axis, k_scale=None, v_scale=None):
+    """Shared prefill/decode body over packed tokens [T]."""
+    x = jnp.take(params["embed"], token_ids, axis=0)
+    x = tp_psum(x, None)  # embed replicated; no-op
+    rope = params["rope"]
+
+    # lax.scan over stacked layers.  The KV caches ride in the CARRY (one
+    # full-cache buffer, updated in place via dynamic_update_index — XLA
+    # aliases scan carries) rather than as xs/ys, which would materialize
+    # a second full-cache stack and double HBM for the largest buffer in
+    # the system.
+    def scan_body(carry, lp):
+        x, residual, kc, vc, li = carry
+        kc_l = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
+        vc_l = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
+        h, residual = ops.fused_add_rms_norm(
+            x, residual, lp["ln1"], cfg.rms_eps)
+        attn, kc_l, vc_l = _attention_block(
+            cfg, lp, h, positions, rope, kc_l, vc_l, slot_mapping,
+            block_table, kv_lens, cu_q, max_q, max_k, tp_axis,
+            k_scale, v_scale)
+        h2, residual = ops.fused_add_rms_norm(
+            attn, residual, lp["ln2"], cfg.rms_eps)
+        mlp = _mlp_block(cfg, lp, h2, tp_axis)
+        kc = jax.lax.dynamic_update_index_in_dim(kc, kc_l, li, 0)
+        vc = jax.lax.dynamic_update_index_in_dim(vc, vc_l, li, 0)
+        return (mlp, residual, kc, vc, li + 1), None
+
+    (x, residual, k_cache, v_cache, _), _ = jax.lax.scan(
+        scan_body,
+        (x, jnp.zeros_like(x), k_cache, v_cache, jnp.int32(0)),
+        params["layers"])
+    x = (x.astype(jnp.float32) + residual.astype(jnp.float32)).astype(x.dtype)
+    x = ops.rms_norm(x, params["final_ln"], cfg.rms_eps)
+    # tied lm_head; embed is replicated across tp so logits already agree
+    logits = jnp.dot(x, params["embed"].T,
+                     preferred_element_type=jnp.float32)
+    return logits, k_cache, v_cache
+
+
+def decode_step(
+    cfg: LlamaConfig,
+    params,
+    token_ids: jax.Array,       # [B]
+    positions: jax.Array,       # [B] (== kv_lens - 1)
+    slot_mapping: jax.Array,    # [B] global cache slots for the new token
+    block_table: jax.Array,     # [B, max_blocks]
+    kv_lens: jax.Array,         # [B] (including the new token)
+    k_cache, v_cache,
+    max_seqlen_k: int,
+    tp_axis: Optional[str] = None,
+    k_scale=None, v_scale=None,
+):
+    """One continuous-batching decode step -> (logits [B, V], caches)."""
+    b = token_ids.shape[0]
+    cu_q = jnp.arange(b + 1, dtype=jnp.int32)
+    return _forward_tokens(
+        cfg, params, token_ids, positions, slot_mapping, block_table,
+        kv_lens, cu_q, 1, max_seqlen_k, k_cache, v_cache, tp_axis,
+        k_scale, v_scale)
+
+
+def prefill_step(
+    cfg: LlamaConfig,
+    params,
+    token_ids: jax.Array,       # [T] packed varlen
+    positions: jax.Array,       # [T]
+    cu_seqlens_q: jax.Array,    # [B+1]
+    slot_mapping: jax.Array,    # [T]
+    block_table: jax.Array,
+    kv_lens: jax.Array,
+    k_cache, v_cache,
+    max_seqlen_q: int,
+    max_seqlen_k: int,
+    tp_axis: Optional[str] = None,
+    k_scale=None, v_scale=None,
+):
+    """Chunked/whole prefill over packed sequences -> (logits [T, V],
+    caches)."""
+    return _forward_tokens(
+        cfg, params, token_ids, positions, slot_mapping, block_table,
+        kv_lens, cu_seqlens_q, max_seqlen_q, max_seqlen_k,
+        k_cache, v_cache, tp_axis, k_scale, v_scale)

@@ -102,11 +102,16 @@ def _gather_padded_q(q, cu_seqlens_q, batch, qp):
 def _gather_padded_kv_paged(cache, block_table, kp):
     """paged [nb, bs, Hkv, D] + table [B, max_blocks] -> [B, Kp, Hkv, D]."""
     bs = cache.shape[1]
-    nblk = -(-kp // bs)
+    nblk = min(-(-kp // bs), block_table.shape[1])
     tbl = block_table[:, :nblk]
     gathered = jnp.take(cache, tbl, axis=0)  # [B, nblk, bs, Hkv, D]
     b = tbl.shape[0]
     out = gathered.reshape(b, nblk * bs, *cache.shape[2:])
+    if nblk * bs < kp:  # table shorter than the padded kv extent
+        out = jnp.concatenate([
+            out,
+            jnp.zeros((b, kp - nblk * bs, *cache.shape[2:]), cache.dtype),
+        ], axis=1)
     return out[:, :kp]
 
 
@@ -289,6 +294,9 @@ def flash_attn_varlen_func(
         return out
 
     # ---- jnp reference path --------------------------------------------
+    if paged and kv_layout == "bhsd":
+        k = k.transpose(0, 2, 1, 3)   # -> bshd for the padded gather
+        v = v.transpose(0, 2, 1, 3)
     t = q.shape[0]
     qp = max_seqlen_q
     kp = min(max_seqlen_k,
@@ -308,7 +316,7 @@ def flash_attn_varlen_func(
         softcap, s_aux, k_descale, v_descale)
     # repack [B, Qp, Hq, Dv] -> [total_q, Hq, Dv]
     seq_of_row, pos_of_row = _row_maps(cu_seqlens_q, t, batch)
-    out = out_pad[seq_of_row, pos_of_row]
+    out = out_pad[seq_of_row, pos_of_row].astype(q.dtype)
     if return_softmax_lse:
         lse = lse_pad[seq_of_row, :, pos_of_row].T  # [Hq, total_q]
         return out, lse

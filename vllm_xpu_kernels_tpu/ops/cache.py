@@ -93,6 +93,36 @@ def reshape_and_cache_flash(
     )
 
 
+@register_op("reshape_and_cache_tpu", "cache")
+def reshape_and_cache_tpu(
+    key: jax.Array,
+    value: jax.Array,
+    key_cache: jax.Array,
+    value_cache: jax.Array,
+    slot_mapping: jax.Array,
+    kv_cache_dtype: str = "auto",
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+):
+    """Scatter K/V tokens into the TPU-native page layout
+    ``[num_blocks, H, block_size, hs]`` — the layout the Pallas attention
+    kernels consume directly (kernels/flash_attention.py; exact Mosaic
+    tiles, one DMA per (head, page)).  Same semantics as
+    ``reshape_and_cache_flash`` otherwise.  Returns (key_cache, value_cache).
+    """
+    nb, h, bs, hs = key_cache.shape
+    idx = _slots(slot_mapping, nb * bs)
+    block = idx // bs
+    off = jnp.where(idx >= nb * bs, bs, idx % bs)
+    kq = _maybe_quant(key, kv_cache_dtype, k_scale).astype(key_cache.dtype)
+    vq = _maybe_quant(value, kv_cache_dtype, v_scale).astype(value_cache.dtype)
+    key_cache = key_cache.at[block, :, off, :].set(
+        kq, mode="drop", unique_indices=True)
+    value_cache = value_cache.at[block, :, off, :].set(
+        vq, mode="drop", unique_indices=True)
+    return key_cache, value_cache
+
+
 @register_op("reshape_and_cache", "cache")
 def reshape_and_cache(
     key: jax.Array,

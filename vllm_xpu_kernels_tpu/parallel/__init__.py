@@ -1,0 +1,22 @@
+"""Distributed layer: device meshes + TP/EP/DP/CP sharding over ICI.
+
+The reference is a single-device kernel library — vLLM above it owns the
+process groups and oneCCL collectives (SURVEY.md §2.17).  Here the
+distribution story is first-class and TPU-native: a `jax.sharding.Mesh`
+with named axes, `shard_map`-wrapped model steps that call the kernel ops
+on per-device shards, and XLA collectives (`psum`, `all_gather`,
+`ppermute`, `all_to_all`) riding ICI.
+"""
+
+from vllm_xpu_kernels_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    AXIS_DP,
+    AXIS_TP,
+    AXIS_EP,
+    tp_psum,
+    shard_leading,
+    replicate,
+)
+from vllm_xpu_kernels_tpu.parallel.context import (  # noqa: F401
+    ring_attention,
+)
