@@ -52,7 +52,8 @@ def main():
                     help="tiny config smoke run")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--kv-len", type=int, default=1024)
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--quant", default="fp8", choices=["fp8", "int8"])
     args = ap.parse_args()
 
     import jax
@@ -69,7 +70,8 @@ def main():
             max_position=2048, quant="fp8", block_size=16)
         args.batch, args.kv_len, args.steps = 4, 64, 3
     else:
-        cfg = LlamaConfig(quant="fp8", block_size=128, max_position=16384)
+        cfg = LlamaConfig(quant=args.quant, block_size=128,
+                          max_position=16384)
 
     bs = cfg.block_size
     blocks_per_seq = -(-(args.kv_len + args.steps + 1) // bs)
@@ -128,7 +130,7 @@ def main():
     e, l_, i = cfg.hidden_size, cfg.num_layers, cfg.intermediate_size
     hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
     wbytes_layer = (e * (hq + 2 * hkv) * d + hq * d * e + 3 * e * i)
-    wbytes = l_ * wbytes_layer * (1 if cfg.quant == "fp8" else 2)
+    wbytes = l_ * wbytes_layer * (1 if cfg.quant in ("fp8", "int8") else 2)
     wbytes += cfg.vocab_size * e * 2  # tied embed/lm_head bf16
     kv_bytes = (np.minimum(args.kv_len + args.steps, max_k) * 2 * hkv * d
                 * 2 * l_ * args.batch)  # k+v bf16, whole batch
@@ -138,8 +140,8 @@ def main():
     frac = tok_s / roofline_tok_s
 
     print(json.dumps({
-        "metric": "llama3_8b_fp8_decode" if not args.small
-        else "llama_small_fp8_decode",
+        "metric": (f"llama3_8b_{args.quant}_decode" if not args.small
+                   else "llama_small_fp8_decode"),
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(frac, 4),

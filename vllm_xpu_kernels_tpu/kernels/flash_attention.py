@@ -103,22 +103,27 @@ def _decode_kernel(
     # scalar prefetch
     kv_lens_ref, tbl_ref, sink_ref, descale_ref,
     # tensor inputs
-    q_ref,            # [1, 1, G, D]
-    k_ref,            # [1, 1, bs, D]   (native cache layout [nb, hkv, bs, D])
-    v_ref,            # [1, 1, bs, Dv]
+    q_ref,            # [1, Hkv, G, D]   (all heads of one sequence)
+    k_ref,            # [1, Hkv, bs, D]  (one whole page, all kv heads)
+    v_ref,            # [1, Hkv, bs, Dv]
     # outputs
-    o_ref,            # [1, 1, G, Dv]
-    lse_ref,          # [1, 1, G, 1]
-    # scratch
+    o_ref,            # [1, Hkv, G, Dv]
+    lse_ref,          # [1, Hkv, G, 1]
+    # scratch (flattened over heads: rows = Hkv*G)
     m_ref, l_ref, acc_ref,
 ):
+    """One grid step = one (sequence, page): all KV heads ride in a single
+    page DMA (the [nb, Hkv, bs, D] layout keeps a page contiguous), and a
+    static per-head loop updates head-sliced accumulators.  This is 8x
+    fewer grid steps than a (seq, head, page) grid — per-step pipeline
+    overhead, not bandwidth, bounds paged decode."""
     import jax.experimental.pallas as pl
 
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    j = pl.program_id(2)
+    j = pl.program_id(1)
     bs = spec["bs"]
     g = spec["g"]
+    hkv = spec["hkv"]
 
     kv_len = kv_lens_ref[b]
     n_tiles = jnp.maximum((kv_len + bs - 1) // bs, 1)
@@ -131,28 +136,33 @@ def _decode_kernel(
 
     @pl.when(j < n_tiles)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32) * spec["scale"]   # [G, D]
-        k = k_ref[0, 0].astype(jnp.float32)                   # [bs, D]
-        v = v_ref[0, 0].astype(jnp.float32)                   # [bs, Dv]
-        if spec["fp8_kv"]:
-            k = k * descale_ref[0, 0]
-            v = v * descale_ref[0, 1]
-        s = jnp.dot(q.astype(jnp.float32), k.T,
-                    preferred_element_type=jnp.float32)        # [G, bs]
-        if spec["softcap"]:
-            s = spec["softcap"] * jnp.tanh(s / spec["softcap"])
+        from vllm_xpu_kernels_tpu.kernels.quant_matmul import fp8_upcast_f32
+
         kpos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (g, bs), 1)
         mask = kpos >= kv_len
         if spec["window_left"] >= 0:
             mask = mask | (kpos < kv_len - 1 - spec["window_left"])
-        _softmax_step(s, mask, m_ref, l_ref, acc_ref, v, first=False)
+        for h in range(hkv):
+            q = q_ref[0, h].astype(jnp.float32) * spec["scale"]   # [G, D]
+            k = fp8_upcast_f32(k_ref[0, h])                       # [bs, D]
+            v = fp8_upcast_f32(v_ref[0, h])                       # [bs, Dv]
+            if spec["fp8_kv"]:
+                k = k * descale_ref[0, 0]
+                v = v * descale_ref[0, 1]
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            if spec["softcap"]:
+                s = spec["softcap"] * jnp.tanh(s / spec["softcap"])
+            _softmax_step(s, mask, m_ref.at[pl.ds(h * g, g)],
+                          l_ref.at[pl.ds(h * g, g)],
+                          acc_ref.at[pl.ds(h * g, g)], v, first=False)
 
-    @pl.when(j == pl.num_programs(2) - 1)
+    @pl.when(j == pl.num_programs(1) - 1)
     def _():
-        sink_vec = sink_ref[0] if spec["has_sink"] else None  # [g, 1]
+        sink_vec = (sink_ref[...].reshape(hkv * g, 1)
+                    if spec["has_sink"] else None)
         out, lse = _finalize(m_ref, l_ref, acc_ref, sink_vec)
-        o_ref[0, 0] = out.astype(o_ref.dtype)
-        lse_ref[0, 0] = lse
+        o_ref[0] = out.reshape(hkv, g, -1).astype(o_ref.dtype)
+        lse_ref[0] = lse.reshape(hkv, g, 1)
 
 
 def paged_decode(
@@ -196,38 +206,39 @@ def paged_decode(
     ]).reshape(1, 2)
 
     spec = dict(
-        bs=bs, g=g, scale=float(scale), softcap=float(softcap or 0.0),
+        bs=bs, g=g, hkv=hkv, scale=float(scale),
+        softcap=float(softcap or 0.0),
         window_left=int(window[0]), has_sink=sink is not None,
         fp8_kv=k_cache.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2),
     )
 
-    def q_map(b, h, j, kv_lens, tbl):
-        return (b, h, 0, 0)
+    def q_map(b, j, kv_lens, tbl):
+        return (b, 0, 0, 0)
 
-    def kv_map(b, h, j, kv_lens, tbl):
+    def kv_map(b, j, kv_lens, tbl):
         last = jnp.maximum((kv_lens[b] + bs - 1) // bs - 1, 0)
         jc = jnp.minimum(j, last)
-        return (tbl[b, jc], h, 0, 0)
+        return (tbl[b, jc], 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b_, hkv, n_tiles),
+        grid=(b_, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, g, 1), lambda b, h, j, *_: (h, 0, 0)),  # sink
-            pl.BlockSpec((1, 2), lambda b, h, j, *_: (0, 0),
+            pl.BlockSpec((hkv, g, 1), lambda b, j, *_: (0, 0, 0)),   # sink
+            pl.BlockSpec((1, 2), lambda b, j, *_: (0, 0),
                          memory_space=pltpu.SMEM),                   # descale
-            pl.BlockSpec((1, 1, g, d), q_map),
-            pl.BlockSpec((1, 1, bs, d), kv_map),
-            pl.BlockSpec((1, 1, bs, dv), kv_map),
+            pl.BlockSpec((1, hkv, g, d), q_map),
+            pl.BlockSpec((1, hkv, bs, d), kv_map),
+            pl.BlockSpec((1, hkv, bs, dv), kv_map),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, g, dv), lambda b, h, j, *_: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, g, 1), lambda b, h, j, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, hkv, g, dv), lambda b, j, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, g, 1), lambda b, j, *_: (b, 0, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((g, 1), jnp.float32),
-            pltpu.VMEM((g, 1), jnp.float32),
-            pltpu.VMEM((g, dv), jnp.float32),
+            pltpu.VMEM((hkv * g, 1), jnp.float32),
+            pltpu.VMEM((hkv * g, 1), jnp.float32),
+            pltpu.VMEM((hkv * g, dv), jnp.float32),
         ],
     )
     # sink/descale ride as tiny SMEM tensors (not prefetch: float arrays)
@@ -239,7 +250,7 @@ def paged_decode(
             jax.ShapeDtypeStruct((b_, hkv, g, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret_mode(),
     )(seqused_k.astype(jnp.int32), block_table.astype(jnp.int32),
@@ -288,9 +299,11 @@ def _prefill_kernel(
 
     @pl.when(run)
     def _():
+        from vllm_xpu_kernels_tpu.kernels.quant_matmul import fp8_upcast_f32
+
         q = q_ref[0, 0].astype(jnp.float32) * spec["scale"]      # [bq, D]
-        k = k_ref[0, 0].astype(jnp.float32)                      # [bkv, D]
-        v = v_ref[0, 0].astype(jnp.float32)                      # [bkv, Dv]
+        k = fp8_upcast_f32(k_ref[0, 0])                          # [bkv, D]
+        v = fp8_upcast_f32(v_ref[0, 0])                          # [bkv, Dv]
         if spec["fp8_kv"]:
             k = k * descale_ref[0, 0]
             v = v * descale_ref[0, 1]

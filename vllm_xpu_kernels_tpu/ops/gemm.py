@@ -119,6 +119,16 @@ def fp8_gemm(
     a_row, a_grp, gka = _classify_a_scale(A_scale, M, K)
     b_col, b_grp, gkb = _classify_b_scale(B_scale, K, N)
     if a_grp is None and b_grp is None:
+        if use_pallas():
+            out = qmm.quant_matmul_pallas(
+                a2, B, a_kind="fp8", b_kind="fp8", out_dtype=jnp.float32)
+            if a_row is not None:
+                out = out * a_row
+            if b_col is not None:
+                out = out * b_col
+            if bias is not None:
+                out = out + bias.astype(jnp.float32)
+            return _unflatten(out.astype(out_dtype), lead)
         out = _xla_scaled_matmul(
             a2.astype(jnp.bfloat16), B.astype(jnp.bfloat16),
             a_row, b_col, bias, out_dtype)
@@ -191,6 +201,19 @@ def fp8_gemm_w8a16(
     b_col, b_grp, gkb = _classify_b_scale(B_scale, K, N)
     out_dtype = A.dtype
     if b_grp is None:
+        if use_pallas():
+            # Pallas kernel with the fast in-kernel fp8 upcast (XLA's
+            # e4m3 convert runs ~4x slower on v5e, see
+            # kernels/quant_matmul.fp8_upcast_f32), column scales + bias
+            # as an XLA-fused epilogue.
+            out = qmm.quant_matmul_pallas(
+                a2, B, a_kind="dense", b_kind="fp8",
+                out_dtype=jnp.float32)
+            if b_col is not None:
+                out = out * b_col
+            if bias is not None:
+                out = out + bias.astype(jnp.float32)
+            return _unflatten(out.astype(out_dtype), lead)
         out = _xla_scaled_matmul(
             a2.astype(jnp.bfloat16), B.astype(jnp.bfloat16),
             None, b_col, bias, out_dtype)

@@ -1,0 +1,499 @@
+"""MoE stack: routing, alignment/permutation, grouped GEMM, fused pipeline.
+
+Reference surface being reproduced (SURVEY.md §2.8-2.10):
+
+- routing: ``topk_softmax`` / ``topk_sigmoid`` (csrc/moe/topk.cpp:29-878),
+  ``grouped_topk`` (csrc/moe/grouped_topk.cpp, DeepSeek node-limited
+  routing) — goldens per tests/ops/topk_op.py and grouped_topk_op.py.
+- layout: ``moe_align_block_size`` (csrc/moe/moe_align_sum_kernels.cpp:31-957),
+  ``remap_hidden_states`` (csrc/moe/remap_hidden_states.cpp),
+  ``moe_gather`` (csrc/moe/moe_gather.cpp), ``moe_sum``,
+  ``init_expert_map`` (csrc/moe/init_expert_map.cpp:9-78),
+  ``fused_moe_prologue`` (csrc/moe/fused_moe_prologue.hpp:155-559).
+- compute: ``grouped_gemm`` (csrc/xpu/grouped_gemm/…, persistent
+  atomic-tile-scheduler kernel) and the fused pipeline ``tpu_fused_moe``
+  (reference: XpuFusedMoe._apply_kernel, fused_moe_interface.py:308-393).
+
+TPU-first translation:
+
+- routing ops are tiny reductions — pure jnp; XLA's fused top_k is the
+  performance ceiling (ties break toward lower index, matching the
+  reference's stable sort).
+- the reference's persistent grouped-GEMM kernel claims tiles via global
+  atomics — impossible and unnecessary on a TPU core that executes grids
+  sequentially.  Instead the fused pipeline gathers tokens into the
+  block-aligned expert-sorted layout that ``moe_align_block_size`` already
+  defines, and a Pallas kernel (kernels/grouped_matmul.py) maps each
+  M-block to its expert's weight slab via a scalar-prefetched
+  ``expert_ids`` index_map.
+- the standalone ``grouped_gemm`` op (exact rows_per_expert layout, no
+  padding) keeps reference-parity semantics with an XLA segment-masked
+  implementation; the fused pipeline is the performance path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vllm_xpu_kernels_tpu.registry import register_op, use_pallas
+from vllm_xpu_kernels_tpu import ops as _ops
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# routing
+# ---------------------------------------------------------------------------
+
+
+def _topk_route(scores, topk, renormalize, bias):
+    """scores [T, E] f32 -> (weights f32 [T,k], ids int32 [T,k]).  Selection
+    uses biased scores, weights use unbiased scores (reference:
+    tests/ops/topk_op.py:25-35)."""
+    if bias is not None:
+        sel = scores + bias.astype(jnp.float32)[None, :]
+        _, ids = jax.lax.top_k(sel, topk)
+        w = jnp.take_along_axis(scores, ids, axis=-1)
+    else:
+        w, ids = jax.lax.top_k(scores, topk)
+    if renormalize:
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+    return w.astype(jnp.float32), ids.astype(jnp.int32)
+
+
+@register_op("topk_softmax", "moe")
+def topk_softmax(
+    gating_output: jax.Array,
+    topk: int,
+    renormalize: bool = False,
+    bias: Optional[jax.Array] = None,
+):
+    """Fused softmax gating + top-k (csrc/moe/topk.cpp ``MoeSoftmax`` +
+    ``MoeTopK``; schema csrc/moe/torch_bindings.cpp)."""
+    scores = jax.nn.softmax(gating_output.astype(jnp.float32), axis=-1)
+    return _topk_route(scores, topk, renormalize, bias)
+
+
+@register_op("topk_sigmoid", "moe")
+def topk_sigmoid(
+    gating_output: jax.Array,
+    topk: int,
+    renormalize: bool = False,
+    bias: Optional[jax.Array] = None,
+):
+    """Sigmoid gating + top-k (csrc/moe/topk.cpp ``MoeSigmoid``)."""
+    scores = jax.nn.sigmoid(gating_output.astype(jnp.float32))
+    return _topk_route(scores, topk, renormalize, bias)
+
+
+@register_op("grouped_topk", "moe")
+def grouped_topk(
+    gating_output: jax.Array,          # [T, E]
+    topk: int,
+    renormalize: bool,
+    num_expert_group: int,
+    topk_group: int,
+    scoring_func: str = "softmax",
+    routed_scaling_factor: float = 1.0,
+    e_score_correction_bias: Optional[jax.Array] = None,
+):
+    """DeepSeek node-limited two-level routing
+    (csrc/moe/grouped_topk.cpp:217-390; golden
+    tests/ops/grouped_topk_op.py:11-67)."""
+    t, e = gating_output.shape
+    g = num_expert_group
+    if scoring_func == "softmax":
+        scores = jax.nn.softmax(gating_output.astype(jnp.float32), axis=-1)
+    elif scoring_func == "sigmoid":
+        scores = jax.nn.sigmoid(gating_output.astype(jnp.float32))
+    else:
+        raise ValueError(f"Unsupported scoring function: {scoring_func}")
+    original = scores
+    if e_score_correction_bias is not None:
+        scores = scores + e_score_correction_bias.astype(jnp.float32)[None, :]
+        grp = scores.reshape(t, g, e // g)
+        group_scores = jnp.sum(jax.lax.top_k(grp, 2)[0], axis=-1)
+    else:
+        group_scores = jnp.max(scores.reshape(t, g, e // g), axis=-1)
+    _, group_idx = jax.lax.top_k(group_scores, topk_group)
+    group_mask = jnp.zeros((t, g), jnp.bool_).at[
+        jnp.arange(t)[:, None], group_idx].set(True)
+    score_mask = jnp.repeat(group_mask, e // g, axis=-1)
+    masked = jnp.where(score_mask, scores, -jnp.inf)
+    if e_score_correction_bias is not None:
+        _, ids = jax.lax.top_k(masked, topk)
+        w = jnp.take_along_axis(original, ids, axis=-1)
+    else:
+        w, ids = jax.lax.top_k(masked, topk)
+    if renormalize:
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+    w = w * routed_scaling_factor
+    return w.astype(jnp.float32), ids.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# layout / permutation
+# ---------------------------------------------------------------------------
+
+
+@register_op("moe_align_block_size", "moe")
+def moe_align_block_size(
+    topk_ids: jax.Array,        # [T, K] int32
+    num_experts: int,
+    block_size: int,
+    expert_map: Optional[jax.Array] = None,
+    pad_sorted_ids: bool = False,
+):
+    """Sort token(+topk) slots into block-aligned per-expert buckets
+    (csrc/moe/moe_align_sum_kernels.cpp:31-957; golden
+    tests/ops/moe_align_block_size_ops.py docstring example).
+
+    Returns (sorted_token_ids [max_pad], expert_ids [max_blocks],
+    num_tokens_post_pad [1]).  Padding slots hold ``topk_ids.size``.
+    With ``expert_map`` (EP), expert_ids are remapped to local indices
+    (-1 for non-local blocks).
+    """
+    numel = topk_ids.size
+    max_pad = numel + num_experts * (block_size - 1)
+    if pad_sorted_ids:
+        max_pad = _cdiv(max_pad, block_size) * block_size
+    if numel < num_experts:
+        max_pad = min(numel * block_size, max_pad)
+    max_blocks = _cdiv(max_pad, block_size)
+
+    e_flat = topk_ids.reshape(-1).astype(jnp.int32)
+    cnt = jnp.bincount(e_flat, length=num_experts)
+    padded_cnt = _cdiv_j(cnt, block_size) * block_size
+    starts_pad = jnp.concatenate(
+        [jnp.zeros(1, cnt.dtype), jnp.cumsum(padded_cnt)[:-1]])
+    starts_raw = jnp.concatenate(
+        [jnp.zeros(1, cnt.dtype), jnp.cumsum(cnt)[:-1]])
+    order = jnp.argsort(e_flat, stable=True).astype(jnp.int32)
+    e_sorted = e_flat[order]
+    rank = jnp.arange(numel, dtype=jnp.int32) - starts_raw[e_sorted]
+    pos = (starts_pad[e_sorted] + rank).astype(jnp.int32)
+    sorted_ids = jnp.full((max_pad,), numel, jnp.int32).at[pos].set(
+        order, mode="drop")
+    total = jnp.sum(padded_cnt).astype(jnp.int32)
+    block_starts = jnp.arange(max_blocks, dtype=jnp.int32) * block_size
+    ends = jnp.cumsum(padded_cnt)
+    expert_ids = jnp.searchsorted(ends, block_starts, side="right"
+                                  ).astype(jnp.int32)
+    expert_ids = jnp.where(block_starts < total,
+                           jnp.clip(expert_ids, 0, num_experts - 1), 0)
+    if expert_map is not None:
+        expert_ids = expert_map[expert_ids]
+    return sorted_ids, expert_ids, total.reshape(1)
+
+
+def _cdiv_j(a, b):
+    return -(-a // b)
+
+
+@register_op("moe_sum", "moe")
+def moe_sum(x: jax.Array) -> jax.Array:
+    """Sum over the topk axis: [T, K, D] -> [T, D]
+    (csrc/moe/moe_align_sum_kernels.cpp:585-609)."""
+    return jnp.sum(x.astype(jnp.float32), axis=1).astype(x.dtype)
+
+
+@register_op("init_expert_map", "moe")
+def init_expert_map(num_local_experts: int, ep_rank: int, ep_size: int):
+    """Global->local expert map for an EP rank: local experts get
+    [0, num_local), others -1 (csrc/moe/init_expert_map.cpp:9-78)."""
+    e_global = num_local_experts * ep_size
+    g = jnp.arange(e_global, dtype=jnp.int32)
+    local = g - ep_rank * num_local_experts
+    return jnp.where(
+        (g >= ep_rank * num_local_experts)
+        & (g < (ep_rank + 1) * num_local_experts),
+        local, -1).astype(jnp.int32)
+
+
+@register_op("remap_hidden_states", "moe")
+def remap_hidden_states(
+    hidden_states: jax.Array,     # [T, D]
+    topk_ids: jax.Array,          # [T, K] global expert ids
+    total_experts_num: int,
+    local_experts_num: int,
+    expert_map: Optional[jax.Array] = None,
+    hidden_states_scales: Optional[jax.Array] = None,
+):
+    """Count rows per (local) expert and permute token copies into
+    expert-grouped order (csrc/moe/remap_hidden_states.cpp:9-415).
+
+    Returns (remapped [T*K, D], rows_per_expert [local_experts],
+    unpermuted_row_to_permuted_row [T, K] (-1 for non-local),
+    remapped_scales | None).
+    """
+    t, k = topk_ids.shape
+    ids = topk_ids.reshape(-1).astype(jnp.int32)
+    if expert_map is not None:
+        local = expert_map.astype(jnp.int32)[ids]
+    else:
+        local = ids
+    valid = local >= 0
+    sort_key = jnp.where(valid, local, local_experts_num)
+    order = jnp.argsort(sort_key, stable=True).astype(jnp.int32)
+    rows_per_expert = jnp.bincount(
+        jnp.where(valid, local, local_experts_num),
+        length=local_experts_num + 1)[:local_experts_num].astype(jnp.int32)
+    src_rows = order // k
+    remapped = jnp.take(hidden_states, src_rows, axis=0)
+    inv = jnp.zeros((t * k,), jnp.int32).at[order].set(
+        jnp.arange(t * k, dtype=jnp.int32))
+    inv = jnp.where(valid, inv, -1).reshape(t, k)
+    remapped_scales = None
+    if hidden_states_scales is not None:
+        remapped_scales = jnp.take(hidden_states_scales, src_rows, axis=0)
+    return remapped, rows_per_expert, inv, remapped_scales
+
+
+@register_op("fused_moe_prologue", "moe")
+def fused_moe_prologue(
+    hidden_states: jax.Array,
+    topk_ids: jax.Array,
+    num_experts_on_rank: int,
+    ep_rank: int = 0,
+    ep_size: int = 1,
+    hidden_states_scales: Optional[jax.Array] = None,
+):
+    """EP-aware prefix-sum + input row expansion
+    (csrc/moe/fused_moe_prologue.hpp:155-559, schema
+    csrc/moe/torch_bindings.cpp:74-83).  Composition of init_expert_map +
+    remap_hidden_states, returning the same tuple as remap."""
+    expert_map = None
+    if ep_size > 1:
+        expert_map = init_expert_map(num_experts_on_rank, ep_rank, ep_size)
+    total = num_experts_on_rank * ep_size
+    return remap_hidden_states(
+        hidden_states, topk_ids, total, num_experts_on_rank, expert_map,
+        hidden_states_scales)
+
+
+@register_op("moe_gather", "moe")
+def moe_gather(
+    gemm2_output: jax.Array,               # [T*K, D] permuted rows
+    topk_weights: jax.Array,               # [T, K]
+    unpermuted_row_to_permuted_row: jax.Array,  # [T, K], -1 = skip
+    num_experts: int,
+):
+    """Weighted unpermute-reduce back to token order
+    (csrc/moe/moe_gather.cpp:10-161)."""
+    del num_experts
+    t, k = topk_weights.shape
+    m = unpermuted_row_to_permuted_row.reshape(t * k)
+    valid = m >= 0
+    rows = jnp.take(gemm2_output, jnp.clip(m, 0), axis=0).astype(jnp.float32)
+    w = jnp.where(valid, topk_weights.reshape(-1), 0.0)[:, None]
+    out = jnp.sum((rows * w).reshape(t, k, -1), axis=1)
+    return out.astype(gemm2_output.dtype)
+
+
+# ---------------------------------------------------------------------------
+# grouped GEMM (reference-parity op; exact rows_per_expert layout)
+# ---------------------------------------------------------------------------
+
+
+@register_op("grouped_gemm", "moe")
+def grouped_gemm(
+    A: jax.Array,                 # [R, K] rows grouped by expert
+    B: jax.Array,                 # [E, K, N]
+    rows_per_expert: jax.Array,   # [E] int32
+    scales: Optional[jax.Array] = None,   # [E] | [E, N] per-expert scales
+    bias: Optional[jax.Array] = None,     # [E, N]
+    out_dtype=None,
+) -> jax.Array:
+    """Per-expert GEMM over contiguously-grouped rows
+    (csrc/xpu/torch_bindings.cpp:41-53 ``cutlass_grouped_gemm_interface``,
+    Xe2 impl grouped_gemm_xe2_interface.hpp:71-350).
+
+    XLA implementation: rows are assigned segment ids from the prefix sums
+    and every expert's weights are applied through one batched einsum over
+    a segment one-hot — the reference's persistent atomic scheduler has no
+    TPU analogue (grids execute sequentially; see kernels/grouped_matmul.py
+    for the block-aligned fused-pipeline kernel).
+    """
+    r, k_ = A.shape
+    e, _, n = B.shape
+    out_dtype = out_dtype or A.dtype
+    ends = jnp.cumsum(rows_per_expert.astype(jnp.int32))
+    seg = jnp.searchsorted(ends, jnp.arange(r, dtype=jnp.int32),
+                           side="right").astype(jnp.int32)
+    seg = jnp.clip(seg, 0, e - 1)
+    valid = jnp.arange(r) < ends[-1]
+    # gather each row's expert matrix is too big; loop experts instead
+    def body(i, acc):
+        mask = (seg == i) & valid
+        part = jnp.dot(
+            jnp.where(mask[:, None], A, 0).astype(jnp.bfloat16),
+            B[i].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        if scales is not None:
+            s = scales[i]
+            part = part * (s if s.ndim == 0 else s[None, :])
+        if bias is not None:
+            part = part + bias[i].astype(jnp.float32)[None, :]
+        return acc + jnp.where(mask[:, None], part, 0.0)
+
+    out = jax.lax.fori_loop(
+        0, e, body, jnp.zeros((r, n), jnp.float32))
+    return out.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# fused MoE pipeline (reference: XpuFusedMoe._apply_kernel)
+# ---------------------------------------------------------------------------
+
+_ACTS = {
+    "silu": lambda x: _ops.silu_and_mul(x),
+    "gelu": lambda x: _ops.gelu_and_mul(x),
+    "gelu_tanh": lambda x: _ops.gelu_tanh_and_mul(x),
+    "swigluoai": lambda x: _ops.swigluoai_and_mul(x),
+    "swiglustep": lambda x: _ops.swiglustep_and_mul(x),
+    "relu2_no_mul": lambda x: _ops.relu2_no_mul(x),
+}
+
+
+@register_op("tpu_fused_moe", "moe")
+def tpu_fused_moe(
+    hidden_states: jax.Array,      # [T, D]
+    w13: jax.Array,                # [E, D, 2I] (packed int4/fp4: [E, D/2, 2I])
+    w2: jax.Array,                 # [E, I, D] (packed: [E, I/2, D])
+    topk_weights: jax.Array,       # [T, K]
+    topk_ids: jax.Array,           # [T, K]
+    *,
+    w13_scales: Optional[jax.Array] = None,
+    w2_scales: Optional[jax.Array] = None,
+    w13_bias: Optional[jax.Array] = None,
+    w2_bias: Optional[jax.Array] = None,
+    activation: str = "silu",
+    quant: str = "none",           # none | fp8_channel | int4 | mxfp4
+    group_size: int = 0,           # K-group for int4/mxfp4 scales
+    num_experts: Optional[int] = None,
+    ep_rank: int = 0,
+    ep_size: int = 1,
+    expert_map: Optional[jax.Array] = None,
+    gemm1_clamp_limit: Optional[float] = None,
+    block_m: int = 128,
+) -> jax.Array:
+    """The composite MoE forward (reference: XpuFusedMoe.apply →
+    remap → grouped_gemm(w13) → [clamp] → act → grouped_gemm(w2) →
+    moe_gather, fused_moe_interface.py:308-393).
+
+    TPU path: tokens are gathered into the moe_align_block_size layout
+    (each M-block belongs to one expert) and both GEMMs run as one Pallas
+    grouped kernel each; the weighted un-permute is a segment reduce.
+    """
+    t, d = hidden_states.shape
+    e_local = w13.shape[0]
+    k = topk_ids.shape[1]
+    if num_experts is None:
+        num_experts = e_local * ep_size
+    if expert_map is None and ep_size > 1:
+        expert_map = init_expert_map(e_local, ep_rank, ep_size)
+
+    inter2 = w13.shape[-1]
+    act = _ACTS[activation]
+
+    if use_pallas():
+        from vllm_xpu_kernels_tpu.kernels import grouped_matmul as gmm
+
+        # local expert ids (EP): invalid slots sort to the end
+        ids = topk_ids.astype(jnp.int32)
+        if expert_map is not None:
+            ids = expert_map[ids]
+        sorted_ids, expert_blk, total = moe_align_block_size(
+            jnp.where(ids >= 0, ids, e_local), e_local + (
+                1 if expert_map is not None else 0), block_m,
+            pad_sorted_ids=True)
+        if expert_map is not None:
+            # drop the trailing overflow bucket for non-local tokens
+            expert_blk = jnp.where(expert_blk >= e_local, -1, expert_blk)
+        rp = sorted_ids.shape[0]
+        src_rows = jnp.clip(sorted_ids // k, 0, t - 1)
+        a_sorted = jnp.take(hidden_states, src_rows, axis=0)
+        g1 = gmm.grouped_matmul_pallas(
+            a_sorted, w13, expert_blk,
+            scales=w13_scales, bias=w13_bias, quant=quant,
+            group_size=group_size, block_m=block_m,
+            out_dtype=hidden_states.dtype)
+        if gemm1_clamp_limit is not None and gemm1_clamp_limit > 0:
+            inter = inter2 // 2
+            gate = jnp.clip(g1[:, :inter], a_max=gemm1_clamp_limit)
+            up = jnp.clip(g1[:, inter:], -gemm1_clamp_limit,
+                          gemm1_clamp_limit)
+            g1 = jnp.concatenate([gate, up], axis=-1)
+        a2 = act(g1)
+        g2 = gmm.grouped_matmul_pallas(
+            a2, w2, expert_blk,
+            scales=w2_scales, bias=w2_bias, quant=quant,
+            group_size=group_size, block_m=block_m,
+            out_dtype=hidden_states.dtype)
+        # weighted scatter-reduce back to token order
+        flat = jnp.clip(sorted_ids, 0, t * k)     # t*k == padding sentinel
+        wflat = jnp.concatenate(
+            [topk_weights.reshape(-1).astype(jnp.float32),
+             jnp.zeros((1,), jnp.float32)])[flat]
+        tok = jnp.where(sorted_ids < t * k, sorted_ids // k, t)
+        out = jax.ops.segment_sum(
+            g2.astype(jnp.float32) * wflat[:, None], tok,
+            num_segments=t + 1)[:t]
+        return out.astype(hidden_states.dtype)
+
+    # ---- reference path -------------------------------------------------
+    remapped, rows_per_expert, inv, _ = remap_hidden_states(
+        hidden_states, topk_ids, num_experts, e_local, expert_map)
+    if quant == "none":
+        deq13, deq2 = w13, w2
+        s13 = s2 = None
+    elif quant == "fp8_channel":
+        deq13, deq2 = w13, w2
+        s13, s2 = w13_scales, w2_scales
+    else:
+        deq13 = _dequant_moe_weights(w13, w13_scales, quant, group_size)
+        deq2 = _dequant_moe_weights(w2, w2_scales, quant, group_size)
+        s13 = s2 = None
+    g1 = grouped_gemm(remapped, deq13, rows_per_expert, scales=s13,
+                      bias=w13_bias, out_dtype=hidden_states.dtype)
+    if gemm1_clamp_limit is not None and gemm1_clamp_limit > 0:
+        inter = inter2 // 2
+        gate = jnp.clip(g1[:, :inter], a_max=gemm1_clamp_limit)
+        up = jnp.clip(g1[:, inter:], -gemm1_clamp_limit, gemm1_clamp_limit)
+        g1 = jnp.concatenate([gate, up], axis=-1)
+    a2 = act(g1)
+    g2 = grouped_gemm(a2, deq2, rows_per_expert, scales=s2, bias=w2_bias,
+                      out_dtype=hidden_states.dtype)
+    return moe_gather(g2, topk_weights, inv, e_local)
+
+
+def _dequant_moe_weights(w, scales, quant, group_size):
+    """[E, K(/2), N] packed -> [E, K, N] f32 dequantized (ref path)."""
+    from vllm_xpu_kernels_tpu.kernels import quant_matmul as qmm
+
+    if quant == "fp8":
+        s = scales.astype(jnp.float32)
+        if s.ndim == 1:
+            s = s[:, None, None]
+        elif s.ndim == 2:
+            s = s[:, None, :]
+        else:
+            s = jnp.repeat(s, group_size, axis=1)
+        return w.astype(jnp.float32) * s
+    if quant in ("int4", "mxfp4"):
+        outs = []
+        for eidx in range(w.shape[0]):
+            codes = qmm.unpack_int4_splitk_grouped(w[eidx], group_size)
+            if quant == "mxfp4":
+                vals = qmm.e2m1_decode_f32(codes)
+            else:
+                vals = codes.astype(jnp.float32) - 8.0
+            outs.append(vals * jnp.repeat(
+                scales[eidx].astype(jnp.float32), group_size, axis=0))
+        return jnp.stack(outs)
+    raise ValueError(f"unknown quant {quant}")
