@@ -1,0 +1,97 @@
+"""Flash attention benchmark (role of reference
+benchmark/benchmark_cutlass_flash_attn_decode.py:272-360 and
+benchmark_cutlass_flash_attn_varlen.py:324-329: decode configs 32x512,
+32x4096, mixed 128..16384, reported vs peak bandwidth).
+
+Usage: python benchmark/benchmark_flash_attn.py [--mode decode|prefill]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+from presets import preset, detect_chip
+from utils import bench_op, report_row
+
+DECODE_CONFIGS = [
+    ("32x512", [512] * 32),
+    ("32x4096", [4096] * 32),
+    ("8xmixed", [128, 256, 1024, 2048, 4096, 8192, 12288, 16384]),
+    ("skewed", [16384] + [128] * 31),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="decode",
+                    choices=["decode", "prefill"])
+    ap.add_argument("--heads", type=int, nargs=2, default=[32, 8])
+    ap.add_argument("--head-size", type=int, default=128)
+    ap.add_argument("--block-size", type=int, default=128)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from vllm_xpu_kernels_tpu import ops
+
+    p = preset()
+    print(f"# chip={detect_chip()} peak {p['hbm_gbps']} GB/s")
+    hq, hkv = args.heads
+    d, bs = args.head_size, args.block_size
+    rng = np.random.default_rng(0)
+
+    for name, kv_lens in DECODE_CONFIGS:
+        B = len(kv_lens)
+        maxb = max(-(-kv // bs) for kv in kv_lens)
+        nb = sum(-(-kv // bs) for kv in kv_lens) + 1
+        kc = jnp.asarray(rng.standard_normal((nb, hkv, bs, d)) * 0.5,
+                         jnp.bfloat16)
+        vc = jnp.asarray(rng.standard_normal((nb, hkv, bs, d)) * 0.5,
+                         jnp.bfloat16)
+        tbl = np.zeros((B, maxb), np.int32)
+        nxt = 1
+        for i, kv in enumerate(kv_lens):
+            nblk = -(-kv // bs)
+            tbl[i, :nblk] = np.arange(nxt, nxt + nblk)
+            nxt += nblk
+        tblj = jnp.asarray(tbl)
+        used = jnp.asarray(kv_lens, jnp.int32)
+        cu = jnp.arange(B + 1, dtype=jnp.int32)
+
+        if args.mode == "decode":
+            q = jnp.asarray(rng.standard_normal((B, hq, d)) * 0.5,
+                            jnp.bfloat16)
+            step = lambda x: ops.flash_attn_varlen_func(
+                x, kc, vc, 1, cu, maxb * bs, seqused_k=used,
+                block_table=tblj, causal=True, kv_layout="bhsd")
+            fb = lambda y, x: (x * 0.999 + y * 1e-3).astype(x.dtype)
+            t = bench_op(step, fb, q)
+            kv_bytes = sum(kv_lens) * hkv * d * 2 * 2
+            print(report_row(f"decode {name} (B={B})", t,
+                             bytes_moved=kv_bytes, peak_gbps=p["hbm_gbps"]))
+        else:
+            q_lens = [min(kv, 1024) for kv in kv_lens]
+            tq = sum(q_lens)
+            q = jnp.asarray(rng.standard_normal((tq, hq, d)) * 0.5,
+                            jnp.bfloat16)
+            cuq = jnp.asarray(
+                np.concatenate([[0], np.cumsum(q_lens)]).astype(np.int32))
+            step = lambda x: ops.flash_attn_varlen_func(
+                x, kc, vc, max(q_lens), cuq, maxb * bs, seqused_k=used,
+                block_table=tblj, causal=True, kv_layout="bhsd")
+            fb = lambda y, x: (x * 0.999 + y * 1e-3).astype(x.dtype)
+            t = bench_op(step, fb, q)
+            flops = sum(2 * 2 * ql * kv * hq * d
+                        for ql, kv in zip(q_lens, kv_lens))
+            print(report_row(f"prefill {name}", t, flops=flops,
+                             peak_tflops=p["bf16_tflops"]))
+
+
+if __name__ == "__main__":
+    main()

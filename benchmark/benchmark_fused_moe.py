@@ -1,0 +1,77 @@
+"""Fused MoE benchmark (role of reference benchmark/benchmark_fused_moe.py:
+Mixtral-style expert shapes, tokens/s and % of weight-bandwidth roofline).
+
+Usage: python benchmark/benchmark_fused_moe.py [--tokens 128] [--quant none]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+from presets import preset, detect_chip
+from utils import bench_op, report_row
+from weight_shapes import WEIGHT_SHAPES
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tokens", type=int, default=128)
+    ap.add_argument("--topk", type=int, default=2)
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "fp8_channel"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from vllm_xpu_kernels_tpu import ops
+
+    p = preset()
+    cfg = WEIGHT_SHAPES["mixtral-8x7b-expert"]
+    e = cfg["num_experts"]
+    d, i2 = cfg["w13"]
+    inter = i2 // 2
+    t = args.tokens
+    rng = np.random.default_rng(0)
+    print(f"# chip={detect_chip()} mixtral-8x7b E={e} d={d} I={inter} "
+          f"tokens={t} topk={args.topk} quant={args.quant}")
+
+    x = jnp.asarray(rng.standard_normal((t, d)) * 0.3, jnp.bfloat16)
+    gating = jnp.asarray(rng.standard_normal((t, e)).astype(np.float32))
+    tw, ti = ops.topk_softmax(gating, args.topk, True)
+    kwargs = {}
+    if args.quant == "none":
+        w13 = jnp.asarray(rng.standard_normal((e, d, i2)) * 0.05,
+                          jnp.bfloat16)
+        w2 = jnp.asarray(rng.standard_normal((e, inter, d)) * 0.05,
+                         jnp.bfloat16)
+        wbytes = (w13.size + w2.size) * 2
+    else:
+        w13 = jnp.asarray(rng.standard_normal((e, d, i2)) * 0.05,
+                          jnp.float8_e4m3fn)
+        w2 = jnp.asarray(rng.standard_normal((e, inter, d)) * 0.05,
+                         jnp.float8_e4m3fn)
+        kwargs = dict(
+            w13_scales=jnp.ones((e, i2), jnp.float32),
+            w2_scales=jnp.ones((e, d), jnp.float32))
+        wbytes = w13.size + w2.size
+
+    def step(x):
+        return ops.tpu_fused_moe(x, w13, w2, tw, ti, quant=args.quant,
+                                 activation="silu", **kwargs)
+
+    tsec = bench_op(step, lambda y, x: (x * 0.999 + y * 1e-3
+                                        ).astype(x.dtype), x)
+    # tokens route to topk experts; all-expert weight read upper-bounds
+    print(report_row(f"fused_moe t={t}", tsec, bytes_moved=wbytes,
+                     peak_gbps=p["hbm_gbps"]))
+    print(f"tokens/s: {t / tsec:,.0f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Benchmark timing utilities (role of reference benchmark/utils.py:10-60,
+which wraps triton.testing.do_bench / torch.utils.benchmark).
+
+Timing protocol for remote-tunnel TPU sessions: chain the op N times inside
+ONE jitted fori_loop (per-dispatch tunnel latency is tens of ms and
+block_until_ready does not flush remote execution), then report
+(t(N+delta) − t(N)) / delta — fixed dispatch/readback overheads cancel.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import numpy as np
+
+
+def bench_op(step: Callable, feedback: Callable, x0, n_base: int = 10,
+             n_delta: int = 100) -> float:
+    """Median-free differential timing -> seconds per `step` invocation.
+
+    ``step(x)`` runs the op; ``feedback(y, x)`` folds the output back into
+    a carry of x's shape/dtype so iterations chain (no dead-code
+    elimination)."""
+    import jax
+
+    def chain(n):
+        def loop(x):
+            def body(i, x):
+                return feedback(step(x), x)
+            return jax.lax.fori_loop(0, n, body, x)
+        return jax.jit(loop)
+
+    f_a, f_b = chain(n_base), chain(n_base + n_delta)
+    for f in (f_a, f_b):
+        out = f(x0)
+        _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+    t0 = time.perf_counter()
+    _ = np.asarray(jax.tree.leaves(f_a(x0))[0]).ravel()[0]
+    ta = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = np.asarray(jax.tree.leaves(f_b(x0))[0]).ravel()[0]
+    tb = time.perf_counter() - t0
+    return max((tb - ta) / n_delta, 1e-9)
+
+
+def report_row(name: str, seconds: float, flops: float = 0.0,
+               bytes_moved: float = 0.0, peak_tflops: float = 0.0,
+               peak_gbps: float = 0.0) -> str:
+    tf = flops / seconds / 1e12
+    gb = bytes_moved / seconds / 1e9
+    parts = [f"{name:<44s} {seconds*1e6:9.1f} us"]
+    if flops:
+        pct = 100 * tf / peak_tflops if peak_tflops else 0
+        parts.append(f"{tf:8.2f} TFLOPS ({pct:5.1f}%)")
+    if bytes_moved:
+        pct = 100 * gb / peak_gbps if peak_gbps else 0
+        parts.append(f"{gb:7.1f} GB/s ({pct:5.1f}%)")
+    return "  ".join(parts)

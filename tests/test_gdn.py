@@ -1,0 +1,131 @@
+"""GDN attention tests (numpy port of reference
+tests/gdn_attn/test_gdn_attn.py ``ref_gdn_attention`` golden: causal
+depthwise conv + L2 norms + gated delta rule recurrence over mixed
+prefill/decode varlen batches with initial states)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_xpu_kernels_tpu import ops
+
+from tests.utils import assert_allclose
+
+
+def np_softplus(x):
+    return np.where(x > 20, x, np.log1p(np.exp(np.minimum(x, 20))))
+
+
+def np_gdn_golden(qkvz, ba, conv_state, ssm_state, conv_w, conv_b,
+                  A_log, dt_bias, qsl, state_idx, has_init,
+                  nk, nv, hk, hv, activation="silu"):
+    t_total = qkvz.shape[0]
+    rep = nv // nk
+    w = conv_w.shape[-1]
+    eps, scale = 1e-6, 1.0 / math.sqrt(hk)
+    qkvz_r = qkvz.reshape(t_total, nk, 2 * hk + 2 * rep * hv)
+    q = qkvz_r[..., :hk].reshape(t_total, nk * hk)
+    k = qkvz_r[..., hk:2 * hk].reshape(t_total, nk * hk)
+    v = qkvz_r[..., 2 * hk:2 * hk + rep * hv].reshape(t_total, nk * rep * hv)
+    z = qkvz_r[..., 2 * hk + rep * hv:].reshape(t_total, nv, hv)
+    ba_r = ba.reshape(t_total, nk, 2 * rep)
+    b = ba_r[..., :rep].reshape(t_total, nv)
+    a = ba_r[..., rep:].reshape(t_total, nv)
+    qkv = np.concatenate([q, k, v], -1)
+    c = qkv.shape[-1]
+    out = np.zeros((t_total, nv, hv), np.float32)
+    conv_state = conv_state.copy()
+    ssm_state = ssm_state.copy()
+    A_exp = -np.exp(A_log)
+    for bi in range(len(qsl) - 1):
+        s0, e0 = qsl[bi], qsl[bi + 1]
+        tb = e0 - s0
+        cs = (conv_state[state_idx[bi]].copy() if has_init[bi]
+              else np.zeros((w - 1, c), np.float32))
+        xin = np.concatenate([cs, qkv[s0:e0]], 0)
+        conv_state[state_idx[bi]] = xin[tb:]
+        conv = np.stack([
+            sum(xin[t + j, ch] * conv_w[ch, j] for j in range(w))
+            for t in range(tb) for ch in range(c)
+        ]).reshape(tb, c)
+        if conv_b is not None:
+            conv = conv + conv_b[None, :]
+        if activation:
+            conv = conv / (1 + np.exp(-conv)) * 1.0 if False else \
+                conv * (1 / (1 + np.exp(-conv)))
+        qo = conv[:, :nk * hk].reshape(tb, nk, hk)
+        ko = conv[:, nk * hk:2 * nk * hk].reshape(tb, nk, hk)
+        vo = conv[:, 2 * nk * hk:].reshape(tb, nv, hv)
+        qo = qo / np.sqrt((qo ** 2).sum(-1, keepdims=True) + eps) * scale
+        ko = ko / np.sqrt((ko ** 2).sum(-1, keepdims=True) + eps)
+        if rep > 1:
+            qo = np.repeat(qo, rep, 1)
+            ko = np.repeat(ko, rep, 1)
+        beta = 1 / (1 + np.exp(-b[s0:e0]))
+        g = np.exp(A_exp * np_softplus(a[s0:e0] + dt_bias))
+        S = (ssm_state[state_idx[bi]].astype(np.float32).copy()
+             if has_init[bi] else np.zeros((nv, hv, hk), np.float32))
+        for t in range(tb):
+            S = S * g[t][:, None, None]
+            kv_mem = np.einsum("vhk,vk->vh", S, ko[t])
+            delta = (vo[t] - kv_mem) * beta[t][:, None]
+            S = S + np.einsum("vh,vk->vhk", delta, ko[t])
+            out[s0 + t] = np.einsum("vhk,vk->vh", S, qo[t])
+        ssm_state[state_idx[bi]] = S
+    return out, z, conv_state, ssm_state
+
+
+@pytest.mark.parametrize("seq_lens,has_init", [
+    ([5, 1, 3], [False, True, True]),
+    ([1, 1], [True, True]),          # pure decode
+    ([7], [False]),                  # pure prefill
+    ([2, 2, 2], [True, True, False]),  # spec-decode style drafts
+])
+def test_gdn_attention(seq_lens, has_init):
+    nk, nv, hk, hv, w = 2, 4, 16, 32, 4
+    rep = nv // nk
+    c = nk * (2 * hk + rep * hv)
+    t_total = sum(seq_lens)
+    n_state = 8
+    rng = np.random.default_rng(0)
+    qkvz = rng.standard_normal(
+        (t_total, nk * (2 * hk + 2 * rep * hv))).astype(np.float32) * 0.5
+    ba = rng.standard_normal((t_total, nk * 2 * rep)).astype(np.float32)
+    conv_state = rng.standard_normal((n_state, w - 1, c)).astype(np.float32)
+    ssm_state = rng.standard_normal((n_state, nv, hv, hk)).astype(
+        np.float32) * 0.3
+    conv_w = rng.standard_normal((c, w)).astype(np.float32) * 0.3
+    conv_b = rng.standard_normal(c).astype(np.float32) * 0.1
+    A_log = rng.standard_normal(nv).astype(np.float32) * 0.3
+    dt_bias = rng.standard_normal(nv).astype(np.float32) * 0.3
+    qsl = np.concatenate([[0], np.cumsum(seq_lens)]).astype(np.int32)
+    state_idx = np.arange(len(seq_lens), dtype=np.int32) + 1
+    has_init_np = np.asarray(has_init)
+
+    g_out, g_z, g_cs, g_ss = np_gdn_golden(
+        qkvz, ba, conv_state, ssm_state, conv_w, conv_b, A_log, dt_bias,
+        qsl, state_idx, has_init_np, nk, nv, hk, hv)
+
+    out, z, cs, ss = ops.gdn_attention(
+        jnp.asarray(qkvz, jnp.bfloat16), jnp.asarray(ba, jnp.bfloat16),
+        jnp.asarray(conv_state), jnp.asarray(ssm_state),
+        jnp.asarray(conv_w), jnp.asarray(conv_b),
+        jnp.asarray(A_log), jnp.asarray(dt_bias),
+        jnp.asarray(qsl), jnp.asarray(state_idx),
+        jnp.asarray(has_init_np),
+        num_k_heads=nk, num_v_heads=nv, head_k_dim=hk, head_v_dim=hv,
+        max_seqlen=max(seq_lens))
+
+    assert_allclose(out, g_out, rtol=4e-2,
+                    atol=4e-2 * max(1.0, np.abs(g_out).max()))
+    assert_allclose(z, g_z, rtol=2e-2, atol=2e-2)
+    # states for touched slots match; untouched slots preserved
+    assert_allclose(np.asarray(ss)[state_idx], g_ss[state_idx], rtol=4e-2,
+                    atol=4e-2 * max(1.0, np.abs(g_ss).max()))
+    assert_allclose(np.asarray(cs)[0], conv_state[0], rtol=0, atol=0)
+    untouched_cs = g_cs[state_idx]
+    got_cs = np.asarray(cs)[state_idx]
+    # conv inputs pass through bf16 in our impl; compare loosely
+    assert_allclose(got_cs, untouched_cs, rtol=2e-2, atol=2e-2)

@@ -1,0 +1,55 @@
+"""Environment-variable registry (reference: tools/envs.py + the scattered
+runtime envs — VLLM_XPU_FUSED_MOE_USE_REF fused_moe_interface.py:18,
+force-xe-default grouped_gemm_interface.cpp:22, XPU_KERNEL_TEST_SCOPE
+tests/conftest.py:9-27, XPUMEM_DEBUG_LOG_METADATA mem_alloc.cpp:58-70).
+
+One typed table; every env this engine reads is declared here."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+_REGISTRY: dict[str, tuple[Callable[[], Any], str]] = {}
+
+
+def _register(name: str, caster, default, doc: str):
+    def get():
+        raw = os.environ.get(name)
+        return default if raw is None else caster(raw)
+    _REGISTRY[name] = (get, doc)
+    return get
+
+
+def _bool(v: str) -> bool:
+    return v.lower() in ("1", "true", "yes", "on")
+
+
+VXK_FORCE_REF = _register(
+    "VXK_FORCE_REF", _bool, False,
+    "Route every op to the pure-jnp reference implementation "
+    "(analogue of VLLM_XPU_FUSED_MOE_USE_REF).")
+VXK_FORCE_PALLAS = _register(
+    "VXK_FORCE_PALLAS", _bool, False,
+    "Force the Pallas kernel tier even off-TPU (interpret mode; the "
+    "reference's simulator flow).")
+VXK_TEST_SCOPE = _register(
+    "VXK_TEST_SCOPE", str, "ci",
+    "Test parametrization scope: full | ci | mini "
+    "(reference: XPU_KERNEL_TEST_SCOPE, docs/test_scope_design.md).")
+VXK_TEST_TPU = _register(
+    "VXK_TEST_TPU", _bool, False,
+    "Run the test suite against the real TPU instead of the virtual "
+    "8-device CPU mesh.")
+VXK_DEBUG_LOG = _register(
+    "VXK_DEBUG_LOG", _bool, False,
+    "Verbose engine logging (analogue of XPUMEM_DEBUG_LOG_METADATA).")
+
+
+def environment_variables() -> dict[str, str]:
+    """name -> docstring for every registered env."""
+    return {k: doc for k, (_, doc) in _REGISTRY.items()}
+
+
+def get(name: str):
+    return _REGISTRY[name][0]()

@@ -103,3 +103,6 @@ from vllm_xpu_kernels_tpu.ops.mqa_logits import (  # noqa: F401
     fp8_mqa_logits,
     fp8_paged_mqa_logits,
 )
+from vllm_xpu_kernels_tpu.ops.gdn import (  # noqa: F401
+    gdn_attention,
+)
