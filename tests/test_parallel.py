@@ -1,0 +1,98 @@
+"""Distributed-layer tests on the virtual 8-device CPU mesh: ring context
+parallelism (LSE-merge composition) and Megatron-TP model equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from tests.utils import assert_allclose
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_full(causal):
+    from vllm_xpu_kernels_tpu.parallel import ring_attention
+
+    n_dev = min(4, len(jax.devices()))
+    devs = np.array(jax.devices()[:n_dev])
+    mesh = Mesh(devs, ("cp",))
+    t_local, h, d = 16, 4, 32
+    t = t_local * n_dev
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((t, h, d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((t, h, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((t, h, d)) * 0.5, jnp.float32)
+    scale = d ** -0.5
+
+    ring = shard_map(
+        lambda q, k, v: ring_attention(q, k, v, "cp", scale=scale,
+                                       causal=causal),
+        mesh=mesh, in_specs=(P("cp"), P("cp"), P("cp")),
+        out_specs=P("cp"), check_rep=False)
+    out = jax.jit(ring)(q, k, v)
+
+    # dense golden
+    logits = np.einsum("qhd,khd->hqk", np.asarray(q) * scale, np.asarray(k))
+    if causal:
+        qpos = np.arange(t)[:, None]
+        kpos = np.arange(t)[None, :]
+        logits = np.where((kpos > qpos)[None], -np.inf, logits)
+    m = logits.max(-1, keepdims=True)
+    p = np.exp(logits - m)
+    sm = p / p.sum(-1, keepdims=True)
+    golden = np.einsum("hqk,khd->qhd", sm, np.asarray(v))
+    assert_allclose(out, golden, rtol=1e-4, atol=1e-4)
+
+
+def test_tp_model_matches_single_device():
+    """shard_mapped TP decode step == single-device decode step."""
+    from vllm_xpu_kernels_tpu.models import (
+        LlamaConfig, init_params, init_kv_cache, decode_step)
+    from vllm_xpu_kernels_tpu.models.llama import (
+        param_tp_specs, kv_cache_tp_spec)
+    from vllm_xpu_kernels_tpu.parallel import make_mesh
+
+    tp = 4
+    cfg = LlamaConfig(
+        hidden_size=128, num_layers=2, num_q_heads=8, num_kv_heads=4,
+        head_dim=32, intermediate_size=256, vocab_size=512,
+        max_position=256, quant="none", block_size=16)
+    cfg_local = cfg.tp_slice(tp)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    nb = 8
+    kc, vc = init_kv_cache(cfg, nb)
+    b, kv_len = 2, 20
+    tok = jnp.asarray([3, 5], jnp.int32)
+    kv_lens = jnp.full((b,), kv_len, jnp.int32)
+    positions = kv_lens - 1
+    tbl = jnp.asarray([[0, 1, 0, 0], [2, 3, 0, 0]], jnp.int32)
+    slots = jnp.asarray([16 + 3, 3 * 16 + 3], jnp.int32)
+    max_k = 64
+
+    ref_logits, _, _ = decode_step(
+        cfg, params, tok, positions, slots, tbl, kv_lens, kc, vc,
+        max_seqlen_k=max_k)
+
+    mesh = make_mesh(dp=1, tp=tp, devices=jax.devices()[:tp])
+    pspecs = param_tp_specs(cfg)
+    cspec = kv_cache_tp_spec()
+    rep = P()
+
+    def step(p, tok, pos, slots, tbl, kvl, kc, vc):
+        logits, kc2, vc2 = decode_step(
+            cfg_local, p, tok, pos, slots, tbl, kvl, kc, vc,
+            max_seqlen_k=max_k, tp_axis="tp")
+        return logits
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(pspecs, rep, rep, rep, rep, rep, cspec, cspec),
+        out_specs=rep, check_rep=False)
+    kc2, vc2 = init_kv_cache(cfg, nb)
+    tp_logits = jax.jit(sharded)(
+        params, tok, positions, slots, tbl, kv_lens, kc2, vc2)
+    assert_allclose(tp_logits, np.asarray(ref_logits, np.float32),
+                    rtol=3e-2, atol=3e-1)

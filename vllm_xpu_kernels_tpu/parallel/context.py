@@ -31,7 +31,7 @@ def _partial_attn(q, k, v, q_pos, k_pos, scale, causal):
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.einsum("hqk,khd->qhd", p, v.astype(jnp.float32))
     # o is un-normalized (numerator); lse carries the normalizer
-    return o, (m + jnp.log(jnp.maximum(l, 1e-38)))[..., 0], l[..., 0]
+    return o, (m + jnp.log(jnp.maximum(l, 1e-30)))[..., 0], l[..., 0]
 
 
 def ring_attention(
@@ -86,11 +86,11 @@ def ring_attention(
         o_blk, lse_blk, l_blk = _partial_attn(
             q, kk, vv, q_pos, kv_pos(owner), scale, causal)
         # lse_blk = m + log l; recover block max for stable merge
-        m_blk = lse_blk - jnp.log(jnp.maximum(l_blk, 1e-38))
+        m_blk = lse_blk - jnp.log(jnp.maximum(l_blk, 1e-30))
         carry = merge(carry, o_blk, m_blk, l_blk)
         if step < n - 1:
             kv = jax.lax.ppermute(kv, axis, perm)
             owner = (owner - 1) % n
     o_num, m_run, l_run = carry
-    out = o_num / jnp.maximum(l_run, 1e-38).T[:, :, None]
+    out = o_num / jnp.maximum(l_run, 1e-30).T[:, :, None]
     return out.astype(q.dtype)
