@@ -279,3 +279,24 @@ def test_remap_gather_roundtrip():
     out = ops.moe_gather(remapped, jnp.asarray(tw), inv, e)
     golden = (x[:, None, :] * tw[:, :, None]).sum(1)
     assert_allclose(out, golden, rtol=1e-4, atol=1e-4)
+
+
+def test_batched_moe_align_block_size():
+    mtb, bs = 16, 8
+    ent = np.asarray([3, 0, 16, 9], np.int32)
+    sorted_ids, expert_ids, total = ops.batched_moe_align_block_size(
+        mtb, bs, jnp.asarray(ent))
+    sorted_ids = np.asarray(sorted_ids)
+    expert_ids = np.asarray(expert_ids)
+    total = int(np.asarray(total)[0])
+    assert total == sum(-(-int(c) // bs) * bs for c in ent)
+    numel = len(ent) * mtb
+    for blk in range(total // bs):
+        eid = expert_ids[blk]
+        for sid in sorted_ids[blk * bs:(blk + 1) * bs]:
+            if sid < numel:
+                assert sid // mtb == eid
+                assert sid % mtb < ent[eid]
+    valid = sorted_ids[sorted_ids < numel]
+    assert len(valid) == int(ent.sum())
+    assert len(set(valid.tolist())) == len(valid)

@@ -70,6 +70,7 @@ from vllm_xpu_kernels_tpu.ops.moe import (  # noqa: F401
     topk_sigmoid,
     grouped_topk,
     moe_align_block_size,
+    batched_moe_align_block_size,
     moe_sum,
     init_expert_map,
     remap_hidden_states,

@@ -195,6 +195,44 @@ def _cdiv_j(a, b):
     return -(-a // b)
 
 
+@register_op("batched_moe_align_block_size", "moe")
+def batched_moe_align_block_size(
+    max_tokens_per_batch: int,
+    block_size: int,
+    expert_num_tokens: jax.Array,   # [E]
+):
+    """Block alignment for the batched-expert format: expert ``e`` owns the
+    contiguous slot range ``[e*max_tokens_per_batch, ...)`` with
+    ``expert_num_tokens[e]`` valid entries
+    (csrc/moe/torch_bindings.cpp:22-31, moe_align_sum_kernels.cpp batched
+    variant).  Returns (sorted_token_ids, expert_ids, num_tokens_post_pad);
+    padding slots hold ``E * max_tokens_per_batch``."""
+    e = expert_num_tokens.shape[0]
+    mtb = max_tokens_per_batch
+    numel = e * mtb
+    max_pad = numel + e * (block_size - 1)
+    max_blocks = _cdiv(max_pad, block_size)
+    cnt = jnp.clip(expert_num_tokens.astype(jnp.int32), 0, mtb)
+    padded = _cdiv_j(cnt, block_size) * block_size
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+    slot = jax.lax.broadcasted_iota(jnp.int32, (e, mtb), 1)
+    valid = slot < cnt[:, None]
+    pos = jnp.where(valid, starts[:, None] + slot, max_pad)
+    token_ids = (jax.lax.broadcasted_iota(jnp.int32, (e, mtb), 0) * mtb
+                 + slot)
+    sorted_ids = jnp.full((max_pad,), numel, jnp.int32).at[
+        pos.reshape(-1)].set(token_ids.reshape(-1), mode="drop")
+    total = jnp.sum(padded).astype(jnp.int32)
+    block_starts = jnp.arange(max_blocks, dtype=jnp.int32) * block_size
+    ends = jnp.cumsum(padded)
+    expert_ids = jnp.searchsorted(ends, block_starts, side="right"
+                                  ).astype(jnp.int32)
+    expert_ids = jnp.where(block_starts < total,
+                           jnp.clip(expert_ids, 0, e - 1), 0)
+    return sorted_ids, expert_ids, total.reshape(1)
+
+
 @register_op("moe_sum", "moe")
 def moe_sum(x: jax.Array) -> jax.Array:
     """Sum over the topk axis: [T, K, D] -> [T, D]

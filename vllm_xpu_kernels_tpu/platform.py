@@ -57,6 +57,33 @@ def roofline() -> Roofline:
     return ROOFLINES.get(device_kind(), ROOFLINES["v5e"])
 
 
+# Runtime arch queries — the dispatch predicates kernels key tuning tables
+# on (reference: is_pvc/is_bmg/is_bmg_g21/is_bmg_g31, csrc/xpu/utils.cpp:5-23).
+def is_v4() -> bool:
+    return device_kind() == "v4"
+
+
+def is_v5e() -> bool:
+    return device_kind() == "v5e"
+
+
+def is_v5p() -> bool:
+    return device_kind() == "v5p"
+
+
+def is_v6e() -> bool:
+    return device_kind() == "v6e"
+
+
+def get_backend_version() -> str:
+    """Runtime stack version string (reference: get_onednn_version,
+    csrc/xpu/torch_bindings.cpp)."""
+    import jax
+    import jaxlib
+
+    return f"jax={jax.__version__} jaxlib={jaxlib.__version__}"
+
+
 def pct_of_peak_flops(tflops: float) -> float:
     return 100.0 * tflops / roofline().bf16_tflops
 

@@ -75,6 +75,16 @@ def from_host_offload(x, device: Optional[object] = None):
     return jax.tree.map(lambda a: jax.device_put(a, s), x)
 
 
+def get_device_view_from_cpu(x) -> jax.Array:
+    """Device-visible view of host data (reference:
+    get_xpu_view_from_cpu_tensor UVA view, csrc/xpu_view.cpp:19-128).  On
+    TPU a zero-copy UVA mapping does not exist; the equivalent is a
+    pinned-host placement that device computations can consume directly
+    (XLA streams it over PCIe on use)."""
+    a = jnp.asarray(x)
+    return jax.device_put(a, _host_sharding(a))
+
+
 def weak_ref(x: jax.Array) -> jax.Array:
     """The reference's weak_ref_tensor exposes a non-owning view for
     graph-capture lifetimes (csrc/tensor_utils.cpp:24).  JAX arrays are
