@@ -52,7 +52,7 @@ def test_tp_model_matches_single_device():
     from vllm_xpu_kernels_tpu.models import (
         LlamaConfig, init_params, init_kv_cache, decode_step)
     from vllm_xpu_kernels_tpu.models.llama import (
-        param_tp_specs, kv_cache_tp_spec)
+        param_tp_specs, kv_cache_tp_spec, params_for_tp)
     from vllm_xpu_kernels_tpu.parallel import make_mesh
 
     tp = 4
@@ -93,6 +93,7 @@ def test_tp_model_matches_single_device():
         out_specs=rep, check_rep=False)
     kc2, vc2 = init_kv_cache(cfg, nb)
     tp_logits = jax.jit(sharded)(
-        params, tok, positions, slots, tbl, kv_lens, kc2, vc2)
+        params_for_tp(params, cfg, tp), tok, positions, slots, tbl,
+        kv_lens, kc2, vc2)
     assert_allclose(tp_logits, np.asarray(ref_logits, np.float32),
                     rtol=3e-2, atol=3e-1)

@@ -120,17 +120,17 @@ def init_params(cfg: LlamaConfig, key=None):
     # lax.scan forces XLA to materialize a copy of every weight slice per
     # layer per step (a pallas_call operand cannot alias a dynamic slice),
     # which halves effective weight bandwidth — measured 154 vs 295 GB/s.
+    # Projections are fused (qkv together, gate+up together): 4 GEMMs per
+    # layer instead of 7 — fewer kernel launches and wider N tiles.
     layers = []
     for li in range(cfg.num_layers):
         layers.append({
             "ln1": jnp.ones((e,), cfg.jdtype),
             "ln2": jnp.ones((e,), cfg.jdtype),
-            "wq": _init_linear(keys[li * n_lin + 0], e, hq * d, cfg),
-            "wk": _init_linear(keys[li * n_lin + 1], e, hkv * d, cfg),
-            "wv": _init_linear(keys[li * n_lin + 2], e, hkv * d, cfg),
+            "wqkv": _init_linear(keys[li * n_lin + 0], e,
+                                 (hq + 2 * hkv) * d, cfg),
             "wo": _init_linear(keys[li * n_lin + 3], hq * d, e, cfg),
-            "wg": _init_linear(keys[li * n_lin + 4], e, i, cfg),
-            "wu": _init_linear(keys[li * n_lin + 5], e, i, cfg),
+            "wgu": _init_linear(keys[li * n_lin + 4], e, 2 * i, cfg),
             "wd": _init_linear(keys[li * n_lin + 6], i, e, cfg),
         })
     embed = (jax.random.normal(keys[-2], (cfg.vocab_size, e), jnp.float32)
@@ -169,9 +169,9 @@ def param_tp_specs(cfg: LlamaConfig, tp_axis: str = "tp"):
         row = {"w": P(tp_axis, None), "s": P()}
     layer = {
         "ln1": P(), "ln2": P(),
-        "wq": dict(col), "wk": dict(col), "wv": dict(col),
+        "wqkv": dict(col),
         "wo": dict(row),
-        "wg": dict(col), "wu": dict(col),
+        "wgu": dict(col),
         "wd": dict(row),
     }
     return {
@@ -180,6 +180,46 @@ def param_tp_specs(cfg: LlamaConfig, tp_axis: str = "tp"):
         "final_ln": P(),
         "rope": P(),
     }
+
+
+def params_for_tp(params, cfg: LlamaConfig, tp: int):
+    """Permute the fused projection columns into rank-blocked order so a
+    plain column sharding gives every TP rank its own [q|k|v] (and
+    [gate|up]) slice.  Pure column permutation — logical weights unchanged.
+    Must be applied before shard_map when tp > 1."""
+    if tp == 1:
+        return params
+    hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    i = cfg.intermediate_size
+
+    def block_perm(sizes):
+        """Column permutation: [A|B|C] -> per-rank [A_r|B_r|C_r] blocks."""
+        import numpy as np
+
+        perm = []
+        offs = np.cumsum([0] + sizes[:-1])
+        for r in range(tp):
+            for off, sz in zip(offs, sizes):
+                per = sz // tp
+                perm.extend(range(off + r * per, off + (r + 1) * per))
+        return np.asarray(perm, np.int64)
+
+    qkv_perm = block_perm([hq * d, hkv * d, hkv * d])
+    gu_perm = block_perm([i, i])
+
+    def apply(p, perm):
+        out = {"w": p["w"][:, perm]}
+        if "s" in p:
+            out["s"] = p["s"][perm]
+        return out
+
+    new_layers = []
+    for lp in params["layers"]:
+        nl = dict(lp)
+        nl["wqkv"] = apply(lp["wqkv"], qkv_perm)
+        nl["wgu"] = apply(lp["wgu"], gu_perm)
+        new_layers.append(nl)
+    return {**params, "layers": new_layers}
 
 
 def kv_cache_tp_spec(tp_axis: str = "tp", dp_axis=None):
@@ -197,9 +237,10 @@ def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
                      k_scale=None, v_scale=None):
     t = x.shape[0]
     hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
-    q = _linear(x, lp["wq"])
-    k = _linear(x, lp["wk"])
-    v = _linear(x, lp["wv"])
+    qkv = _linear(x, lp["wqkv"])
+    q = qkv[:, : hq * d]
+    k = qkv[:, hq * d: (hq + hkv) * d]
+    v = qkv[:, (hq + hkv) * d:]
     q, k = ops.rotary_embedding(positions, q, k, d, rope, is_neox=True)
     fp8kv = kc_l.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
     kc_l, vc_l = ops.reshape_and_cache_tpu(
@@ -218,9 +259,8 @@ def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
 
 
 def _mlp_block(cfg, lp, x, tp_axis):
-    g = _linear(x, lp["wg"])
-    u = _linear(x, lp["wu"])
-    act = ops.silu_and_mul(jnp.concatenate([g, u], axis=-1))
+    gu = _linear(x, lp["wgu"])
+    act = ops.silu_and_mul(gu)
     return _linear(act, lp["wd"], tp_axis, reduce_out=True)
 
 
