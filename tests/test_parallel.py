@@ -97,3 +97,36 @@ def test_tp_model_matches_single_device():
         kv_lens, kc2, vc2)
     assert_allclose(tp_logits, np.asarray(ref_logits, np.float32),
                     rtol=3e-2, atol=3e-1)
+
+
+def test_ep_fused_moe_matches_single_device():
+    """shard_mapped expert-parallel MoE == single-device fused MoE."""
+    from vllm_xpu_kernels_tpu import ops
+    from vllm_xpu_kernels_tpu.parallel import ep_fused_moe
+
+    ep = 4
+    t_local, d, inter, e_total, k = 8, 64, 128, 8, 2
+    e_local = e_total // ep
+    t = t_local * ep
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((t, d)) * 0.3, jnp.bfloat16)
+    gating = jnp.asarray(rng.standard_normal((t, e_total)).astype(np.float32))
+    tw, ti = ops.topk_softmax(gating, k, True)
+    w13 = jnp.asarray(rng.standard_normal((e_total, d, 2 * inter)) * 0.1,
+                      jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((e_total, inter, d)) * 0.1,
+                     jnp.bfloat16)
+
+    golden = ops.tpu_fused_moe(x, w13, w2, tw, ti, quant="none",
+                               activation="silu", block_m=32)
+
+    mesh = Mesh(np.array(jax.devices()[:ep]), ("ep",))
+    f = shard_map(
+        lambda x, w13, w2, tw, ti: ep_fused_moe(
+            x, w13, w2, tw, ti, "ep", block_m=32),
+        mesh=mesh,
+        in_specs=(P("ep"), P("ep"), P("ep"), P("ep"), P("ep")),
+        out_specs=P("ep"), check_rep=False)
+    out = jax.jit(f)(x, w13, w2, tw, ti)
+    assert_allclose(out, np.asarray(golden, np.float32), rtol=3e-2,
+                    atol=3e-2 * max(1.0, np.abs(np.asarray(golden)).max()))

@@ -20,3 +20,6 @@ from vllm_xpu_kernels_tpu.parallel.mesh import (  # noqa: F401
 from vllm_xpu_kernels_tpu.parallel.context import (  # noqa: F401
     ring_attention,
 )
+from vllm_xpu_kernels_tpu.parallel.moe import (  # noqa: F401
+    ep_fused_moe,
+)
