@@ -242,6 +242,13 @@ def rms_norm_mxfp4_quant(
 # ---------------------------------------------------------------------------
 
 
+def _norm_block_t(t, n):
+    """Token-block size bounded by VMEM: ~16 bytes/elem live across the
+    in/out tiles and f32 intermediates; stay under ~4 MB per buffer set."""
+    cap = max(8, (4 * 1024 * 1024) // (16 * max(n, 1)) // 8 * 8)
+    return min(512, cap, max(8, t))
+
+
 def _rms_norm_kernel(eps, x_ref, w_ref, o_ref):
     xf = x_ref[:].astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -254,7 +261,7 @@ def _pallas_rms_norm(x2, weight, eps):
     from jax.experimental.pallas import tpu as pltpu
 
     t, n = x2.shape
-    block_t = min(512, max(8, t))
+    block_t = _norm_block_t(t, n)
     return pl.pallas_call(
         functools.partial(_rms_norm_kernel, eps),
         grid=(pl.cdiv(t, block_t),),
@@ -284,7 +291,7 @@ def _pallas_fused_add_rms_norm(x2, r2, weight, eps):
     from jax.experimental.pallas import tpu as pltpu
 
     t, n = x2.shape
-    block_t = min(512, max(8, t))
+    block_t = _norm_block_t(t, n)
     return pl.pallas_call(
         functools.partial(_fused_add_rms_norm_kernel, eps),
         grid=(pl.cdiv(t, block_t),),
