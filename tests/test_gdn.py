@@ -129,3 +129,48 @@ def test_gdn_attention(seq_lens, has_init):
     got_cs = np.asarray(cs)[state_idx]
     # conv inputs pass through bf16 in our impl; compare loosely
     assert_allclose(got_cs, untouched_cs, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("seq_lens,chunk", [
+    ([70, 1, 130], 64),   # crosses chunk boundaries, mixed batch
+    ([64], 64),           # exact chunk
+    ([5, 3], 4),          # tiny chunks
+])
+def test_gdn_chunked_matches_scan(seq_lens, chunk):
+    """Chunked (WY-transform) delta rule == token scan."""
+    nk, nv, hk, hv, w = 2, 4, 16, 32, 4
+    rep = nv // nk
+    c = nk * (2 * hk + rep * hv)
+    t_total = sum(seq_lens)
+    rng = np.random.default_rng(9)
+    qkvz = rng.standard_normal(
+        (t_total, nk * (2 * hk + 2 * rep * hv))).astype(np.float32) * 0.5
+    ba = rng.standard_normal((t_total, nk * 2 * rep)).astype(np.float32)
+    conv_state = rng.standard_normal((8, w - 1, c)).astype(np.float32)
+    ssm_state = rng.standard_normal((8, nv, hv, hk)).astype(np.float32) * 0.3
+    conv_w = rng.standard_normal((c, w)).astype(np.float32) * 0.3
+    A_log = rng.standard_normal(nv).astype(np.float32) * 0.3
+    dt_bias = rng.standard_normal(nv).astype(np.float32) * 0.3
+    qsl = np.concatenate([[0], np.cumsum(seq_lens)]).astype(np.int32)
+    sidx = np.arange(len(seq_lens), dtype=np.int32)
+    hinit = np.asarray([True] * len(seq_lens))
+    common = dict(
+        num_k_heads=nk, num_v_heads=nv, head_k_dim=hk, head_v_dim=hv,
+        max_seqlen=max(seq_lens))
+    args = (jnp.asarray(qkvz, jnp.bfloat16), jnp.asarray(ba, jnp.bfloat16),
+            jnp.asarray(conv_state), jnp.asarray(ssm_state),
+            jnp.asarray(conv_w), None, jnp.asarray(A_log),
+            jnp.asarray(dt_bias), jnp.asarray(qsl), jnp.asarray(sidx),
+            jnp.asarray(hinit))
+    o_scan, _, _, ss_scan = ops.gdn_attention(
+        *args, algorithm="scan", **common)
+    o_chunk, _, _, ss_chunk = ops.gdn_attention(
+        *args, algorithm="chunk", chunk_size=chunk, **common)
+    denom = max(1.0, float(np.abs(np.asarray(o_scan, np.float32)).max()))
+    assert_allclose(o_chunk, np.asarray(o_scan, np.float32),
+                    rtol=2e-2, atol=2e-2 * denom)
+    sdenom = max(1.0, float(np.abs(np.asarray(ss_scan[sidx],
+                                              np.float32)).max()))
+    assert_allclose(np.asarray(ss_chunk)[sidx],
+                    np.asarray(ss_scan, np.float32)[sidx],
+                    rtol=2e-2, atol=2e-2 * sdenom)

@@ -18,11 +18,12 @@ TPU-first translation:
   drafts as length-``num_spec_tokens`` sequences.
 - the depthwise causal conv is W static shifted multiply-adds (W = 4)
   fused by XLA — no im2col.
-- the delta-rule recurrence is a ``lax.scan`` over time with the
-  [B, NV, Hv, Hk] state in the carry; every per-token elementwise factor
-  (β, g, norms) is precomputed vectorized.  (The reference's chunk=64
-  blocked formulation trades the scan for batched matmuls; that variant
-  drops in behind the same op signature as a future Pallas kernel.)
+- the delta rule runs in the chunked (WY-transform) formulation by
+  default — the reference's chunk=64 blocked algorithm re-derived as
+  batched XLA matmuls + one batched triangular solve per chunk
+  (``_chunked_delta_rule``); only the chunk-to-chunk state carry is
+  sequential.  ``algorithm="scan"`` keeps the exact per-token recurrence
+  as the golden twin.
 """
 
 from __future__ import annotations
@@ -67,6 +68,75 @@ def unpack_qkvz_ba(
     return qkv, z, b, a
 
 
+def _chunked_delta_rule(q, k, v, beta, g, s0, chunk=64):
+    """Chunked gated delta rule — the reference's blocked formulation
+    (chunk=64, sub-kernels prepare/compute_A/UT-inverse/compute_wu/fwd_o,
+    csrc/xpu/gdn_attn/xe_2/chunk_gated_delta_rule_kernels_xe2.hpp:53-1503)
+    re-derived for batched XLA matmuls.
+
+    With S_t = g_t S_{t-1}(I − β_t k_t k_tᵀ) + β_t v_t k_tᵀ and per-chunk
+    cumulative decays G_i = Π g, the WY transform gives (ρ rows solve a
+    unit-lower-triangular system with decay-*ratio* weights, so nothing
+    under/overflows):
+
+        (I + A) ρ = β ⊙ (V − G ⊙ (K S₀ᵀ)),  A[i,j] = β_i (k_i·k_j) G_i/G_j
+        O[i]  = G_i (Q S₀ᵀ)[i] + Σ_{j≤i} (q_i·k_j)(G_i/G_j) ρ_j
+        S_C   = G_C S₀ + Σ_j ρ_jᵀ-outer (G_C/G_j) k_j
+
+    All per-chunk work is batched matmuls + one batched triangular solve;
+    only the chunk-to-chunk state carry is sequential (T/C scan steps
+    instead of T).
+
+    Shapes: q/k [B, T, NV, Hk] (q pre-scaled), v [B, T, NV, Hv],
+    beta/g [B, T, NV], s0 [B, NV, Hv, Hk].  T must be a multiple of
+    ``chunk`` with masked tail tokens given beta=0, g=1.
+    Returns (o [B, T, NV, Hv], s_final).
+    """
+    b, t, nv, hk = k.shape
+    hv = v.shape[-1]
+    c = chunk
+    nc = t // c
+
+    def to_chunks(x):
+        return x.reshape(b, nc, c, *x.shape[2:]).transpose(
+            1, 0, 3, 2, *range(4, x.ndim + 1))
+
+    # [NC, B, NV, C, ...]
+    qc, kc, vc = to_chunks(q), to_chunks(k), to_chunks(v)
+    bc = beta.reshape(b, nc, c, nv).transpose(1, 0, 3, 2)
+    gc = g.reshape(b, nc, c, nv).transpose(1, 0, 3, 2)
+
+    tri_lo = jnp.tril(jnp.ones((c, c), jnp.bool_), -1)
+    tri_inc = jnp.tril(jnp.ones((c, c), jnp.bool_), 0)
+    eye = jnp.eye(c, dtype=jnp.float32)
+
+    def chunk_step(s, xs):
+        qh, kh, vh, bh, gh = xs               # [B, NV, C, ...]
+        cs = jnp.cumsum(jnp.log(jnp.maximum(gh, 1e-30)), axis=-1)
+        ratio = jnp.exp(cs[..., :, None] - cs[..., None, :])   # G_i/G_j
+        kk = jnp.einsum("bvik,bvjk->bvij", kh, kh)
+        a = jnp.where(tri_lo, bh[..., :, None] * kk * ratio, 0.0)
+        ks0 = jnp.einsum("bvck,bvhk->bvch", kh, s)             # K S0^T
+        gfull = jnp.exp(cs)                                    # G_i
+        rhs = bh[..., None] * (vh - gfull[..., None] * ks0)
+        rho = jax.scipy.linalg.solve_triangular(
+            eye + a, rhs, lower=True)                          # [B,NV,C,Hv]
+        qk = jnp.einsum("bvik,bvjk->bvij", qh, kh)
+        m = jnp.where(tri_inc, qk * ratio, 0.0)
+        o = (gfull[..., None] * jnp.einsum("bvck,bvhk->bvch", qh, s)
+             + jnp.einsum("bvij,bvjh->bvih", m, rho))
+        g_c = gfull[..., -1]                                   # G_C
+        k_dec = kh * jnp.exp(
+            cs[..., -1:, None].swapaxes(-1, -2) - cs[..., None])  # (G_C/G_j) k_j
+        s_new = (g_c[..., None, None] * s
+                 + jnp.einsum("bvjh,bvjk->bvhk", rho, k_dec))
+        return s_new, o
+
+    s_final, o_chunks = jax.lax.scan(chunk_step, s0, (qc, kc, vc, bc, gc))
+    o = o_chunks.transpose(1, 0, 3, 2, 4).reshape(b, t, nv, hv)
+    return o, s_final
+
+
 @register_op("gdn_attention", "gdn")
 def gdn_attention(
     projected_states_qkvz: jax.Array,
@@ -87,6 +157,8 @@ def gdn_attention(
     head_v_dim: int,
     max_seqlen: int,
     activation: Optional[str] = "silu",
+    algorithm: str = "chunk",      # chunk (blocked, MXU-bound) | scan
+    chunk_size: int = 64,
 ):
     """-> (core_attn_out [T, NV, Hv], z [T, NV, Hv], conv_state, ssm_state).
 
@@ -159,34 +231,53 @@ def gdn_attention(
     g = jnp.exp(-jnp.exp(A_log.astype(jnp.float32))[None, None, :]
                 * _softplus(a_p + dt_bias.astype(jnp.float32)))
 
-    # ---- delta-rule scan over time -------------------------------------
+    # ---- delta rule ----------------------------------------------------
     s0 = jnp.where(
         has_initial_state[:, None, None, None],
         jnp.take(ssm_state, state_indices.astype(jnp.int32), axis=0
                  ).astype(jnp.float32),
         0.0)                                    # [B, NV, Hv, Hk]
 
-    def step(s, xs):
-        q_t, k_t, v_t, beta_t, g_t, valid_t = xs
-        s_dec = s * g_t[:, :, None, None]
-        kv_mem = jnp.einsum("bvhk,bvk->bvh", s_dec, k_t)
-        delta = (v_t - kv_mem) * beta_t[:, :, None]
-        s_new = s_dec + jnp.einsum("bvh,bvk->bvhk", delta, k_t)
-        s_new = jnp.where(valid_t[:, None, None, None], s_new, s)
-        o_t = jnp.einsum("bvhk,bvk->bvh", s_new, q_t)
-        return s_new, o_t
+    if algorithm == "chunk":
+        # masked tokens become exact no-ops: beta=0, g=1, q=0
+        vm = valid[:, :, None]
+        beta_m = jnp.where(vm, beta, 0.0)
+        g_m = jnp.where(vm, g, 1.0)
+        q_m = jnp.where(vm[..., None], q, 0.0)
+        tm = max_seqlen
+        pad_t = (-tm) % chunk_size
+        if pad_t:
+            def padt(x, fill):
+                cfgpad = [(0, 0)] * x.ndim
+                cfgpad[1] = (0, pad_t)
+                return jnp.pad(x, cfgpad, constant_values=fill)
+            q_m, k_, v_ = padt(q_m, 0), padt(k, 0), padt(v, 0)
+            beta_m, g_m = padt(beta_m, 0), padt(g_m, 1)
+        else:
+            k_, v_ = k, v
+        o_pad, s_final = _chunked_delta_rule(
+            q_m, k_, v_, beta_m, g_m, s0, chunk=chunk_size)
+        o_pad = o_pad[:, :tm]
+    else:
+        def step(s, xs):
+            q_t, k_t, v_t, beta_t, g_t, valid_t = xs
+            s_dec = s * g_t[:, :, None, None]
+            kv_mem = jnp.einsum("bvhk,bvk->bvh", s_dec, k_t)
+            delta = (v_t - kv_mem) * beta_t[:, :, None]
+            s_new = s_dec + jnp.einsum("bvh,bvk->bvhk", delta, k_t)
+            s_new = jnp.where(valid_t[:, None, None, None], s_new, s)
+            o_t = jnp.einsum("bvhk,bvk->bvh", s_new, q_t)
+            return s_new, o_t
 
-    xs = (
-        q.transpose(1, 0, 2, 3), k.transpose(1, 0, 2, 3),
-        v.transpose(1, 0, 2, 3), beta.transpose(1, 0, 2),
-        g.transpose(1, 0, 2), valid.T,
-    )
-    s_final, o_seq = jax.lax.scan(step, s0, xs)
+        xs = (
+            q.transpose(1, 0, 2, 3), k.transpose(1, 0, 2, 3),
+            v.transpose(1, 0, 2, 3), beta.transpose(1, 0, 2),
+            g.transpose(1, 0, 2), valid.T,
+        )
+        s_final, o_seq = jax.lax.scan(step, s0, xs)
+        o_pad = o_seq.transpose(1, 0, 2, 3)     # [B, Tm, NV, Hv]
     ssm_state = ssm_state.at[state_indices.astype(jnp.int32)].set(
         s_final.astype(ssm_state.dtype), mode="drop")
-
-    # ---- repack to token order -----------------------------------------
-    o_pad = o_seq.transpose(1, 0, 2, 3)         # [B, Tm, NV, Hv]
     rows = jnp.arange(t_total, dtype=jnp.int32)
     seq_of_row = (jnp.searchsorted(query_start_loc, rows, side="right") - 1
                   ).astype(jnp.int32)
