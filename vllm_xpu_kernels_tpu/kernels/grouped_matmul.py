@@ -60,7 +60,10 @@ def _gmm_kernel(spec, expert_blk_ref, *refs):
 
     @pl.when(valid)
     def _():
-        a = a_ref[...].astype(jnp.bfloat16)          # [bm, bk]
+        a = a_ref[...]
+        if a.dtype == jnp.float16:
+            a = a.astype(jnp.float32)   # Mosaic has no f16->bf16 cast
+        a = a.astype(jnp.bfloat16)                   # [bm, bk]
         raw = b_ref[0]                               # [bk(/2), bn]
         if spec["quant"] in ("int4", "mxfp4"):
             S = spec["b_sub"]

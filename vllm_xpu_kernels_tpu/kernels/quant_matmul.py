@@ -131,6 +131,8 @@ def _to_mxu_operand(tile, kind, zp, mm_dtype):
         zf = (zp if isinstance(zp, float)
               else zp.astype(jnp.int32).astype(jnp.float32))
         x = x.astype(jnp.float32) - zf
+    if x.dtype == jnp.float16 and mm_dtype == jnp.bfloat16:
+        x = x.astype(jnp.float32)   # Mosaic has no f16->bf16 cast
     return x.astype(mm_dtype)
 
 

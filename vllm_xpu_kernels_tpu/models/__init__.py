@@ -13,3 +13,4 @@ from vllm_xpu_kernels_tpu.models.llama import (  # noqa: F401
     decode_step,
     prefill_step,
 )
+from vllm_xpu_kernels_tpu.models import mixtral  # noqa: F401
