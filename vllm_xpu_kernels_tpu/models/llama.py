@@ -44,7 +44,7 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     max_position: int = 8192
     dtype: str = "bfloat16"
-    quant: str = "none"          # none | fp8 | int8  (weight-only w8a16)
+    quant: str = "none"          # none | fp8 | int8 | mxfp4 (weight-only)
     block_size: int = 128        # KV page size (TPU tiling-friendly)
 
     @property
@@ -91,11 +91,31 @@ def _init_linear(key, fan_in, fan_out, cfg, quant_cols=True):
         s = (absmax / 127.0).astype(jnp.float32)
         q = jnp.clip(jnp.round(w / s[None, :]), -127, 127).astype(jnp.int8)
         return {"w": q, "s": s}
+    if cfg.quant == "mxfp4":
+        # MX FP4: e2m1 codes + per-32-group power-of-two scales, split-K
+        # packed for the fused dequant-matmul kernel (w4a16 path).
+        from vllm_xpu_kernels_tpu.utils import quant_math as qm
+
+        g = 32
+        wg = w.reshape(fan_in // g, g, fan_out)
+        s = qm.ue8m0_round(
+            jnp.max(jnp.abs(wg), axis=1) / qm.FP4_E2M1_MAX, 1e-10)
+        codes = qm.fp4_e2m1_encode(
+            jnp.clip(wg / s[:, None, :], -qm.FP4_E2M1_MAX, qm.FP4_E2M1_MAX)
+        ).reshape(fan_in, fan_out)
+        lo = codes.reshape(fan_in // g, g, fan_out)[:, : g // 2]
+        hi = codes.reshape(fan_in // g, g, fan_out)[:, g // 2:]
+        packed = (lo.astype(jnp.uint8) | (hi.astype(jnp.uint8) << 4)
+                  ).reshape(fan_in // 2, fan_out).astype(jnp.int8)
+        return {"w": packed, "s": s.astype(jnp.float32)}
     return {"w": w.astype(cfg.jdtype)}
 
 
 def _linear(x, p, tp_axis=None, reduce_out=False):
-    if "s" in p:
+    if "s" in p and p["s"].ndim == 2:
+        # mxfp4: split-K packed e2m1 + per-32-group pow2 scales
+        out = _mx_linear(x, p["w"], p["s"])
+    elif "s" in p:
         out = ops.fp8_gemm_w8a16(x, p["w"], p["s"])
     else:
         out = jnp.dot(x, p["w"], preferred_element_type=jnp.float32
@@ -103,6 +123,21 @@ def _linear(x, p, tp_axis=None, reduce_out=False):
     if reduce_out:
         out = tp_psum(out, tp_axis)
     return out
+
+
+def _mx_linear(x, packed, scales):
+    from vllm_xpu_kernels_tpu.registry import use_pallas
+    from vllm_xpu_kernels_tpu.kernels import quant_matmul as qmm
+
+    g = packed.shape[0] * 2 // scales.shape[0]
+    if use_pallas():
+        return qmm.quant_matmul_pallas(
+            x, packed, a_kind="dense", b_kind="fp4sk",
+            b_scale=scales, b_group_k=g, out_dtype=x.dtype)
+    codes = qmm.unpack_int4_splitk_grouped(packed, g)
+    deq = qmm.e2m1_decode_f32(codes) * jnp.repeat(scales, g, axis=0)
+    return jnp.dot(x.astype(jnp.bfloat16), deq.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 def init_params(cfg: LlamaConfig, key=None):
@@ -167,6 +202,9 @@ def param_tp_specs(cfg: LlamaConfig, tp_axis: str = "tp"):
     if cfg.quant in ("fp8", "int8"):
         col = {"w": P(None, tp_axis), "s": P(tp_axis)}
         row = {"w": P(tp_axis, None), "s": P()}
+    elif cfg.quant == "mxfp4":
+        col = {"w": P(None, tp_axis), "s": P(None, tp_axis)}
+        row = {"w": P(tp_axis, None), "s": P(tp_axis, None)}
     layer = {
         "ln1": P(), "ln2": P(),
         "wqkv": dict(col),
