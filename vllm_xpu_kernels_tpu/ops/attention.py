@@ -35,7 +35,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from vllm_xpu_kernels_tpu.registry import register_op, use_pallas
+from vllm_xpu_kernels_tpu.registry import register_op, use_pallas, mosaic_safe
 
 NEG_INF = float("-inf")
 
@@ -264,6 +264,8 @@ def flash_attn_varlen_func(
     if use_pallas():
         from vllm_xpu_kernels_tpu.kernels import flash_attention as fa
 
+        in_dtype = q.dtype
+        q, k, v = mosaic_safe(q), mosaic_safe(k), mosaic_safe(v)
         if paged and kv_layout == "bshd":
             # The Pallas kernels consume the TPU-native page layout
             # [nb, Hkv, bs, D] (exact Mosaic tiles, one DMA per (head,
@@ -289,6 +291,7 @@ def flash_attn_varlen_func(
                 softcap=softcap, sink=s_aux,
                 k_descale=k_descale, v_descale=v_descale,
             )
+        out = out.astype(in_dtype)
         if return_softmax_lse:
             return out, lse
         return out

@@ -31,7 +31,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from vllm_xpu_kernels_tpu.registry import register_op, use_pallas
+from vllm_xpu_kernels_tpu.registry import (register_op, use_pallas, mosaic_safe, mosaic_safe_dtype)
 from vllm_xpu_kernels_tpu.kernels import quant_matmul as qmm
 from vllm_xpu_kernels_tpu.utils import quant_math as qm
 
@@ -150,7 +150,8 @@ def fp8_gemm(
             a_scale=a_grp, a_group_k=gka,
             b_scale=b_grp, b_group_k=gkb,
             bias=None if pend_epi else bias,
-            out_dtype=jnp.float32 if pend_epi else out_dtype,
+            out_dtype=(jnp.float32 if pend_epi
+                       else mosaic_safe_dtype(out_dtype)),
         )
         if pend_epi:
             if a_row is not None:
@@ -159,8 +160,7 @@ def fp8_gemm(
                 out = out * b_col
             if bias is not None:
                 out = out + bias.astype(jnp.float32)
-            out = out.astype(out_dtype)
-        return _unflatten(out, lead)
+        return _unflatten(out.astype(out_dtype), lead)
     af = a2.astype(jnp.float32)
     if a_grp is not None:
         af = af * jnp.repeat(a_grp, gka, axis=1)
@@ -200,6 +200,7 @@ def fp8_gemm_w8a16(
     N = B.shape[1]
     b_col, b_grp, gkb = _classify_b_scale(B_scale, K, N)
     out_dtype = A.dtype
+    a2 = mosaic_safe(a2) if use_pallas() else a2
     if b_grp is None:
         if use_pallas():
             # Pallas kernel with the fast in-kernel fp8 upcast (XLA's
@@ -221,8 +222,9 @@ def fp8_gemm_w8a16(
     if use_pallas():
         out = qmm.quant_matmul_pallas(
             a2, B, a_kind="dense", b_kind="fp8",
-            b_scale=b_grp, b_group_k=gkb, bias=bias, out_dtype=out_dtype)
-        return _unflatten(out, lead)
+            b_scale=b_grp, b_group_k=gkb, bias=bias,
+            out_dtype=mosaic_safe_dtype(out_dtype))
+        return _unflatten(out.astype(out_dtype), lead)
     bf = B.astype(jnp.float32) * jnp.repeat(b_grp, gkb, axis=0)
     out = jnp.dot(a2.astype(jnp.bfloat16), bf.astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)
@@ -271,11 +273,11 @@ def int4_gemm_w4a16(
     out_dtype = A.dtype
     if use_pallas():
         out = qmm.quant_matmul_pallas(
-            a2, B, a_kind="dense", b_kind="int4sk",
+            mosaic_safe(a2), B, a_kind="dense", b_kind="int4sk",
             b_scale=B_scale.astype(jnp.float32), b_group_k=group_size,
             b_zp=(8.0 if B_zp is None else B_zp),
-            bias=bias, out_dtype=out_dtype)
-        return _unflatten(out, lead)
+            bias=bias, out_dtype=mosaic_safe_dtype(out_dtype))
+        return _unflatten(out.astype(out_dtype), lead)
     bf = _int4_dequant_ref(B, B_scale, B_zp, group_size)
     out = jnp.dot(a2.astype(jnp.float32), bf,
                   preferred_element_type=jnp.float32)
@@ -370,8 +372,8 @@ def fp4_gemm(
             a_deq.astype(jnp.bfloat16), B,
             a_kind="dense", b_kind="fp4sk",
             b_scale=b_grp, b_group_k=gkb,
-            bias=bias, out_dtype=out_dtype)
-        return _unflatten(out, lead)
+            bias=bias, out_dtype=mosaic_safe_dtype(out_dtype))
+        return _unflatten(out.astype(out_dtype), lead)
     b_codes = qmm.unpack_int4_splitk_grouped(B, gkb)
     b_deq = qmm.e2m1_decode_f32(b_codes) * jnp.repeat(b_grp, gkb, axis=0)
     out = jnp.dot(a_deq.astype(jnp.bfloat16), b_deq.astype(jnp.bfloat16),

@@ -27,7 +27,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from vllm_xpu_kernels_tpu.registry import register_op, use_pallas, interpret_mode
+from vllm_xpu_kernels_tpu.registry import (register_op, use_pallas, interpret_mode, mosaic_safe)
 from vllm_xpu_kernels_tpu.utils import quant_math as qm
 
 
@@ -95,7 +95,8 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
     (csrc/layernorm.cpp:11-130, schema csrc/torch_bindings.cpp:26-30)."""
     x2, shape = _flatten(x)
     if use_pallas():
-        y = _pallas_rms_norm(x2, weight, eps)
+        y = _pallas_rms_norm(mosaic_safe(x2), mosaic_safe(weight), eps
+                             ).astype(x.dtype)
     else:
         y = _rms_normed_f32(x2, weight, eps).astype(x.dtype)
     return y.reshape(shape)
@@ -110,7 +111,16 @@ def fused_add_rms_norm(
     x2, shape = _flatten(x)
     r2, _ = _flatten(residual)
     if use_pallas():
-        y, z = _pallas_fused_add_rms_norm(x2, r2, weight, eps)
+        if x.dtype == jnp.float16:
+            # Mosaic has no f16; keep the residual sum exact in f16 via
+            # XLA and run only the norm in the (bf16) kernel.
+            z = _add_residual(x2, r2)
+            y = _pallas_rms_norm(mosaic_safe(z), mosaic_safe(weight), eps
+                                 ).astype(x.dtype)
+        else:
+            y, z = _pallas_fused_add_rms_norm(
+                mosaic_safe(x2), mosaic_safe(r2), mosaic_safe(weight), eps)
+            y, z = y.astype(x.dtype), z.astype(x.dtype)
     else:
         z = _add_residual(x2, r2)
         y = _rms_normed_f32(z, weight, eps).astype(x.dtype)

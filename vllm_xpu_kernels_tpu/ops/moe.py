@@ -38,7 +38,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from vllm_xpu_kernels_tpu.registry import register_op, use_pallas
+from vllm_xpu_kernels_tpu.registry import register_op, use_pallas, mosaic_safe
 from vllm_xpu_kernels_tpu import ops as _ops
 
 
@@ -442,6 +442,9 @@ def tpu_fused_moe(
     if use_pallas():
         from vllm_xpu_kernels_tpu.kernels import grouped_matmul as gmm
 
+        in_dtype = hidden_states.dtype
+        hidden_states = mosaic_safe(hidden_states)
+
         # local expert ids (EP): invalid slots sort to the end
         ids = topk_ids.astype(jnp.int32)
         if expert_map is not None:
@@ -482,7 +485,7 @@ def tpu_fused_moe(
         out = jax.ops.segment_sum(
             g2.astype(jnp.float32) * wflat[:, None], tok,
             num_segments=t + 1)[:t]
-        return out.astype(hidden_states.dtype)
+        return out.astype(in_dtype)
 
     # ---- reference path -------------------------------------------------
     remapped, rows_per_expert, inv, _ = remap_hidden_states(

@@ -128,3 +128,19 @@ def list_ops(family: Optional[str] = None) -> list[str]:
 def dispatch(pallas_fn: Callable, ref_fn: Callable):
     """Return pallas_fn or ref_fn per current selection rules."""
     return pallas_fn if use_pallas() else ref_fn
+
+
+def mosaic_safe_dtype(dtype):
+    """Mosaic has no float16 type at all; Pallas paths run f16 ops in
+    bf16 and cast back at the boundary."""
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if jnp.dtype(dtype) == jnp.float16 else dtype
+
+
+def mosaic_safe(x):
+    import jax.numpy as jnp
+
+    if x is not None and hasattr(x, "dtype") and x.dtype == jnp.float16:
+        return x.astype(jnp.bfloat16)
+    return x
