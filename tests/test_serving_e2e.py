@@ -186,3 +186,33 @@ def test_quantized_model_decode(quant, impl):
         max_seqlen_k=32)
     assert logits.shape == (b, cfg_q.vocab_size)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_deepseek_decode():
+    """DeepSeek-style MLA + grouped-topk MoE decode step (scaling rope,
+    qk_head != v_head through paged attention, shared experts)."""
+    from vllm_xpu_kernels_tpu.models import deepseek as DS
+
+    cfg = DS.DeepSeekConfig(
+        hidden_size=128, num_layers=2, num_q_heads=4, num_kv_heads=4,
+        qk_nope_dim=32, qk_rope_dim=16, v_head_dim=32, kv_lora_rank=64,
+        vocab_size=128, max_position=64, block_size=16,
+        num_experts=16, num_shared_experts=1, top_k=4, n_group=4,
+        topk_group=2, moe_intermediate=64, head_dim=48,
+        intermediate_size=64)
+    params = DS.init_params(cfg, jax.random.PRNGKey(5))
+    kc, vc = DS.init_kv_cache(cfg, 16)
+    b = 2
+    tok = jnp.asarray([3, 7], jnp.int32)
+    kv_lens = jnp.full((b,), 9, jnp.int32)
+    positions = kv_lens - 1
+    tbl = jnp.asarray(np.arange(b * 2).reshape(b, 2), jnp.int32)
+    slots = (tbl[:, 0] * 16 + 8).astype(jnp.int32)
+    logits, kc, vc = DS.decode_step(
+        cfg, params, tok, positions, slots, tbl, kv_lens, kc, vc,
+        max_seqlen_k=32)
+    assert logits.shape == (b, cfg.vocab_size)
+    assert bool(jnp.isfinite(logits).all())
+    # cache got the MLA head sizes
+    assert kc[0].shape[-1] == cfg.qk_head_dim
+    assert vc[0].shape[-1] == cfg.v_head_dim

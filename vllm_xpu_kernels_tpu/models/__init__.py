@@ -14,3 +14,4 @@ from vllm_xpu_kernels_tpu.models.llama import (  # noqa: F401
     prefill_step,
 )
 from vllm_xpu_kernels_tpu.models import mixtral  # noqa: F401
+from vllm_xpu_kernels_tpu.models import deepseek  # noqa: F401

@@ -1,0 +1,175 @@
+"""DeepSeek-V2-Lite-family decoder: MLA attention + node-limited MoE.
+
+Exercises the DeepSeek-specific op surface end to end (BASELINE config #5):
+``deepseek_scaling_rope`` (YaRN cos/sin cache), MLA head shapes
+(head_qk = qk_nope + qk_rope ≠ head_vo) through the paged attention
+kernels, ``concat_and_cache_mla``-style latents at the op level, and
+``grouped_topk`` + shared experts through the fused MoE pipeline.
+
+MLA here follows the reference kernels' contract — the expanded per-head
+K [H, 192] / V [H, 128] live in the paged cache (the reference's MLA
+decode test shapes, tests/flash_attn/test_mla_decode.py); weight-absorbed
+latent-cache decode is a serving-layer optimization on top of the same
+attention op.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vllm_xpu_kernels_tpu import ops
+from vllm_xpu_kernels_tpu.models import llama as L
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepSeekConfig(L.LlamaConfig):
+    hidden_size: int = 2048
+    num_layers: int = 4
+    num_q_heads: int = 16
+    num_kv_heads: int = 16          # MLA is MHA over expanded heads
+    qk_nope_dim: int = 128
+    qk_rope_dim: int = 64
+    v_head_dim: int = 128
+    kv_lora_rank: int = 512
+    num_experts: int = 64
+    num_shared_experts: int = 2
+    top_k: int = 6
+    n_group: int = 8
+    topk_group: int = 3
+    moe_intermediate: int = 1408
+    routed_scaling_factor: float = 1.0
+
+    @property
+    def qk_head_dim(self):
+        return self.qk_nope_dim + self.qk_rope_dim
+
+
+def init_params(cfg: DeepSeekConfig, key=None):
+    key = key if key is not None else jax.random.PRNGKey(0)
+    e = cfg.hidden_size
+    h = cfg.num_q_heads
+    dqk, dv = cfg.qk_head_dim, cfg.v_head_dim
+    r = cfg.kv_lora_rank
+    mi = cfg.moe_intermediate
+
+    def lin(k, fi, fo):
+        return (jax.random.normal(k, (fi, fo), jnp.float32)
+                * (2.0 / (fi + fo)) ** 0.5).astype(cfg.jdtype)
+
+    keys = iter(jax.random.split(key, cfg.num_layers * 12 + 2))
+    layers = []
+    for _ in range(cfg.num_layers):
+        lp = {
+            "ln1": jnp.ones((e,), cfg.jdtype),
+            "ln2": jnp.ones((e,), cfg.jdtype),
+            "wq": lin(next(keys), e, h * dqk),
+            "w_dkv": lin(next(keys), e, r + cfg.qk_rope_dim),
+            "kv_ln": jnp.ones((r,), cfg.jdtype),
+            "w_uk": lin(next(keys), r, h * cfg.qk_nope_dim),
+            "w_uv": lin(next(keys), r, h * dv),
+            "wo": lin(next(keys), h * dv, e),
+            "router": lin(next(keys), e, cfg.num_experts).astype(jnp.float32),
+            "w13": {"w": (jax.random.normal(
+                next(keys), (cfg.num_experts, e, 2 * mi), jnp.float32)
+                * 0.03).astype(cfg.jdtype)},
+            "w2": {"w": (jax.random.normal(
+                next(keys), (cfg.num_experts, mi, e), jnp.float32)
+                * 0.03).astype(cfg.jdtype)},
+            "w13_shared": lin(next(keys), e,
+                              2 * mi * cfg.num_shared_experts),
+            "w2_shared": lin(next(keys), mi * cfg.num_shared_experts, e),
+        }
+        layers.append(lp)
+    embed = (jax.random.normal(next(keys), (cfg.vocab_size, e), jnp.float32)
+             * 0.02).astype(cfg.jdtype)
+    return {
+        "layers": layers,
+        "embed": embed,
+        "final_ln": jnp.ones((e,), cfg.jdtype),
+        # YaRN-scaled cos/sin cache over the rope span
+        "rope": L._rope_cache(dataclasses.replace(
+            cfg, head_dim=cfg.qk_rope_dim)),
+    }
+
+
+def init_kv_cache(cfg: DeepSeekConfig, num_blocks: int):
+    """Expanded MLA caches: K [nb, H, bs, qk_head_dim], V [nb, H, bs, dv]."""
+    kshape = (num_blocks, cfg.num_q_heads, cfg.block_size, cfg.qk_head_dim)
+    vshape = (num_blocks, cfg.num_q_heads, cfg.block_size, cfg.v_head_dim)
+    ks = [jnp.zeros(kshape, cfg.jdtype) for _ in range(cfg.num_layers)]
+    vs = [jnp.zeros(vshape, cfg.jdtype) for _ in range(cfg.num_layers)]
+    return ks, vs
+
+
+def _mla_attention(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
+                   block_table, kv_lens, cu_q, max_q, max_k):
+    t = x.shape[0]
+    h, dqk, dv = cfg.num_q_heads, cfg.qk_head_dim, cfg.v_head_dim
+    rnope, rrope = cfg.qk_nope_dim, cfg.qk_rope_dim
+    q = (x @ lp["wq"].astype(x.dtype)).reshape(t, h, dqk)
+    ckv = x @ lp["w_dkv"].astype(x.dtype)
+    c_kv = ops.rms_norm(ckv[:, : cfg.kv_lora_rank], lp["kv_ln"], cfg.rms_eps)
+    k_pe = ckv[:, cfg.kv_lora_rank:]                      # [T, rope]
+    k_nope = (c_kv @ lp["w_uk"].astype(x.dtype)).reshape(t, h, rnope)
+    v = (c_kv @ lp["w_uv"].astype(x.dtype)).reshape(t, h, dv)
+    # rope on q's rope span + shared k_pe (deepseek_scaling_rope)
+    q_rope = q[..., rnope:].reshape(t, h * rrope)
+    q_rope, k_pe = ops.deepseek_scaling_rope(
+        positions, q_rope.reshape(t, h, rrope), k_pe.reshape(t, 1, rrope),
+        rope, rrope, True)
+    q = jnp.concatenate([q[..., :rnope], q_rope.reshape(t, h, rrope)], -1)
+    k = jnp.concatenate(
+        [k_nope, jnp.broadcast_to(k_pe.reshape(t, 1, rrope), (t, h, rrope))],
+        -1)
+    kc_l, vc_l = ops.reshape_and_cache_tpu(
+        k, v, kc_l, vc_l, slot_mapping)
+    attn = ops.flash_attn_varlen_func(
+        q, kc_l, vc_l, max_q, cu_q, max_k,
+        seqused_k=kv_lens, block_table=block_table, causal=True,
+        kv_layout="bhsd", softmax_scale=dqk ** -0.5)
+    out = attn.reshape(t, h * dv) @ lp["wo"].astype(x.dtype)
+    return out.astype(x.dtype), kc_l, vc_l
+
+
+def _moe_mlp(cfg, lp, x):
+    gating = x.astype(jnp.float32) @ lp["router"]
+    tw, ti = ops.grouped_topk(
+        gating, cfg.top_k, True, cfg.n_group, cfg.topk_group,
+        "softmax", cfg.routed_scaling_factor)
+    routed = ops.tpu_fused_moe(
+        x, lp["w13"]["w"], lp["w2"]["w"], tw, ti, activation="silu",
+        quant="none")
+    gu = x @ lp["w13_shared"].astype(x.dtype)
+    shared = ops.silu_and_mul(gu) @ lp["w2_shared"].astype(x.dtype)
+    return (routed.astype(jnp.float32)
+            + shared.astype(jnp.float32)).astype(x.dtype)
+
+
+def decode_step(cfg: DeepSeekConfig, params, token_ids, positions,
+                slot_mapping, block_table, kv_lens, k_cache, v_cache,
+                max_seqlen_k: int):
+    b = token_ids.shape[0]
+    cu_q = jnp.arange(b + 1, dtype=jnp.int32)
+    x = jnp.take(params["embed"], token_ids, axis=0)
+    rope = params["rope"]
+    residual = jnp.zeros_like(x)
+    k_cache, v_cache = list(k_cache), list(v_cache)
+    for li, lp in enumerate(params["layers"]):
+        h, residual = ops.fused_add_rms_norm(
+            x, residual, lp["ln1"], cfg.rms_eps)
+        attn, kc_l, vc_l = _mla_attention(
+            cfg, lp, h, positions, rope, k_cache[li], v_cache[li],
+            slot_mapping, block_table, kv_lens, cu_q, 1, max_seqlen_k)
+        h2, residual = ops.fused_add_rms_norm(
+            attn, residual, lp["ln2"], cfg.rms_eps)
+        x = _moe_mlp(cfg, lp, h2)
+        k_cache[li], v_cache[li] = kc_l, vc_l
+    x = (x.astype(jnp.float32) + residual.astype(jnp.float32)).astype(x.dtype)
+    x = ops.rms_norm(x, params["final_ln"], cfg.rms_eps)
+    logits = jnp.dot(x, params["embed"].T,
+                     preferred_element_type=jnp.float32)
+    return logits, k_cache, v_cache
