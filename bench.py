@@ -54,6 +54,8 @@ def main():
     ap.add_argument("--kv-len", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--quant", default="fp8", choices=["fp8", "int8"])
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the timed run")
     args = ap.parse_args()
 
     import jax
@@ -120,10 +122,13 @@ def main():
     tok, kc, vc = run(params, tok0, pos_s, slot_s, kvl_s, tbl, kc, vc)
     _ = np.asarray(tok)  # force full execution (compile + warmup)
 
-    t0 = time.perf_counter()
-    tok, kc, vc = run(params, tok0, pos_s, slot_s, kvl_s, tbl, kc, vc)
-    _ = np.asarray(tok)  # device->host readback flushes the tunnel
-    dt = time.perf_counter() - t0
+    from benchmark.utils import profile_trace
+
+    with profile_trace(args.trace):
+        t0 = time.perf_counter()
+        tok, kc, vc = run(params, tok0, pos_s, slot_s, kvl_s, tbl, kc, vc)
+        _ = np.asarray(tok)  # device->host readback flushes the tunnel
+        dt = time.perf_counter() - t0
     tok_s = args.batch * args.steps / dt
 
     # ---- roofline --------------------------------------------------------

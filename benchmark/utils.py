@@ -44,6 +44,29 @@ def bench_op(step: Callable, feedback: Callable, x0, n_base: int = 10,
     return max((tb - ta) / n_delta, 1e-9)
 
 
+def profile_trace(logdir):
+    """Context manager: capture a jax.profiler trace (xprof/TensorBoard)
+    around a code block — the TPU-side replacement for the reference's
+    triton do_bench+torch.profiler methodology (benchmark/utils.py:10-60).
+    No-op when ``logdir`` is falsy (so benchmarks can take --trace DIR)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        if not logdir:
+            yield
+            return
+        import jax
+
+        jax.profiler.start_trace(logdir)
+        try:
+            yield
+        finally:
+            jax.profiler.stop_trace()
+
+    return _cm()
+
+
 def report_row(name: str, seconds: float, flops: float = 0.0,
                bytes_moved: float = 0.0, peak_tflops: float = 0.0,
                peak_gbps: float = 0.0) -> str:

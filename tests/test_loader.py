@@ -1,0 +1,143 @@
+"""Checkpoint IO: HF-safetensors round-trip + quantize-on-load.
+
+The reference delegates checkpoint loading to vLLM and ships only format
+converters (_quantize_convert.py); this engine owns the whole path, so the
+contract under test is: save_llama_hf(init_params) -> load_llama_params
+reproduces identical forward logits, for every quant recipe.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import scoped
+from vllm_xpu_kernels_tpu.models import (LlamaConfig, init_params,
+                                         init_kv_cache, decode_step)
+from vllm_xpu_kernels_tpu.models.loader import (load_llama_params,
+                                                read_hf_config,
+                                                save_llama_hf)
+from vllm_xpu_kernels_tpu.models.runtime import (BlockManager,
+                                                 build_decode_batch)
+
+
+def _tiny_cfg(quant="none"):
+    return LlamaConfig(
+        hidden_size=128, num_layers=2, num_q_heads=4, num_kv_heads=2,
+        head_dim=32, intermediate_size=256, vocab_size=512,
+        max_position=128, quant=quant, block_size=16)
+
+
+def _decode_logits(cfg, params, seed=3):
+    mgr = BlockManager(num_blocks=16, block_size=cfg.block_size)
+    seq_ids = [0, 1]
+    for sid in seq_ids:
+        mgr.allocate(sid, 5)
+    b = build_decode_batch(mgr, seq_ids, np.array([7, 11], np.int64),
+                           max_blocks=4)
+    kc, vc = init_kv_cache(cfg, 16)
+    logits, _, _ = jax.jit(
+        lambda p, kc, vc: decode_step(
+            cfg, p, jnp.asarray(b.token_ids, jnp.int32),
+            jnp.asarray(b.positions), jnp.asarray(b.slot_mapping),
+            jnp.asarray(b.block_table), jnp.asarray(b.kv_lens),
+            kc, vc, max_seqlen_k=64),
+    )(params, kc, vc)
+    return np.asarray(logits)
+
+
+@pytest.mark.parametrize("quant", scoped(["none", "fp8", "int8", "mxfp4"],
+                                         ci=["none", "int8", "mxfp4"],
+                                         mini=["int8"]))
+def test_save_load_roundtrip(tmp_path, quant):
+    """bf16 tree -> HF safetensors -> quantize-on-load == quantize the
+    bf16 tree directly: identical stored bytes, identical logits."""
+    cfg_f = _tiny_cfg("none")
+    params_f = init_params(cfg_f, jax.random.PRNGKey(0))
+    save_llama_hf(params_f, cfg_f, str(tmp_path))
+
+    cfg_q = read_hf_config(str(tmp_path))
+    assert cfg_q.hidden_size == cfg_f.hidden_size
+    assert cfg_q.num_layers == cfg_f.num_layers
+    cfg_q = __import__("dataclasses").replace(
+        cfg_q, quant=quant, block_size=cfg_f.block_size)
+
+    loaded = load_llama_params(cfg_q, str(tmp_path))
+
+    # direct-quantization twin of the loaded tree
+    from vllm_xpu_kernels_tpu.models.llama import quantize_linear
+    for li, lp in enumerate(params_f["layers"]):
+        for name in ("wqkv", "wo", "wgu", "wd"):
+            want = quantize_linear(
+                lp[name]["w"].astype(jnp.float32), quant, cfg_q.jdtype)
+            got = loaded["layers"][li][name]
+            for k in want:
+                np.testing.assert_array_equal(
+                    np.asarray(want[k]).view(np.uint8),
+                    np.asarray(got[k]).view(np.uint8),
+                    err_msg=f"layer {li} {name} {k}")
+
+    ref = _decode_logits(cfg_q, {
+        **params_f,
+        "layers": [
+            {**lp, **{n: quantize_linear(lp[n]["w"].astype(jnp.float32),
+                                         quant, cfg_q.jdtype)
+                      for n in ("wqkv", "wo", "wgu", "wd")}}
+            for lp in params_f["layers"]],
+    })
+    got = _decode_logits(cfg_q, loaded)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_untied_lm_head(tmp_path):
+    """A checkpoint with a separate lm_head drives the logits projection."""
+    cfg = _tiny_cfg("none")
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    params["lm_head"] = jax.random.normal(
+        jax.random.PRNGKey(9), params["embed"].shape,
+        jnp.float32).astype(cfg.jdtype) * 0.02
+    save_llama_hf(params, cfg, str(tmp_path))
+    loaded = load_llama_params(cfg, str(tmp_path))
+    assert "lm_head" in loaded
+    tied = dict(loaded)
+    del tied["lm_head"]
+    assert not np.allclose(_decode_logits(cfg, loaded),
+                           _decode_logits(cfg, tied))
+
+
+def test_sharded_index(tmp_path):
+    """Loader follows model.safetensors.index.json across shards."""
+    import json
+    import os
+    import shutil
+
+    from safetensors import safe_open
+    from safetensors.numpy import save_file
+
+    cfg = _tiny_cfg("none")
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    save_llama_hf(params, cfg, str(tmp_path))
+    # split the single file into two shards + index
+    src = os.path.join(tmp_path, "model.safetensors")
+    with safe_open(src, framework="numpy") as h:
+        tensors = {k: h.get_tensor(k) for k in h.keys()}
+    names = sorted(tensors)
+    half = len(names) // 2
+    shards = {"model-00001-of-00002.safetensors": names[:half],
+              "model-00002-of-00002.safetensors": names[half:]}
+    wmap = {}
+    for fname, ks in shards.items():
+        save_file({k: tensors[k] for k in ks},
+                  os.path.join(tmp_path, fname))
+        wmap.update({k: fname for k in ks})
+    os.remove(src)
+    with open(os.path.join(tmp_path, "model.safetensors.index.json"),
+              "w") as f:
+        json.dump({"weight_map": wmap}, f)
+
+    loaded = load_llama_params(cfg, str(tmp_path))
+    np.testing.assert_allclose(
+        np.asarray(loaded["layers"][0]["wqkv"]["w"], np.float32),
+        np.asarray(params["layers"][0]["wqkv"]["w"], np.float32),
+        rtol=1e-2, atol=1e-2)
+    shutil.rmtree(tmp_path, ignore_errors=True)

@@ -15,3 +15,5 @@ from vllm_xpu_kernels_tpu.models.llama import (  # noqa: F401
 )
 from vllm_xpu_kernels_tpu.models import mixtral  # noqa: F401
 from vllm_xpu_kernels_tpu.models import deepseek  # noqa: F401
+from vllm_xpu_kernels_tpu.models import qwen3_next  # noqa: F401
+from vllm_xpu_kernels_tpu.models import loader  # noqa: F401

@@ -74,24 +74,25 @@ def _rope_cache(cfg: LlamaConfig):
     return jnp.concatenate([jnp.cos(freqs), jnp.sin(freqs)], axis=-1)
 
 
-def _init_linear(key, fan_in, fan_out, cfg, quant_cols=True):
-    """-> dict with 'w' (+'s' scale when fp8).  fp8 weights are stored
-    [K, N] e4m3 with per-channel (per-N) scales."""
-    w = jax.random.normal(key, (fan_in, fan_out), jnp.float32)
-    w = w * (2.0 / (fan_in + fan_out)) ** 0.5
-    if cfg.quant == "fp8":
+def quantize_linear(w, quant, dtype=jnp.bfloat16):
+    """f32 [K, N] weight -> stored linear-param dict for a quant recipe
+    ('none' | 'fp8' | 'int8' | 'mxfp4').  Used both by random init and by
+    checkpoint quantize-on-load (models/loader.py)."""
+    w = w.astype(jnp.float32)
+    fan_in, fan_out = w.shape
+    if quant == "fp8":
         absmax = jnp.max(jnp.abs(w), axis=0) + 1e-8
         s = (absmax / 448.0).astype(jnp.float32)
         q = jnp.clip(w / s[None, :], -448.0, 448.0).astype(jnp.float8_e4m3fn)
         return {"w": q, "s": s}
-    if cfg.quant == "int8":
+    if quant == "int8":
         # int8 weight-only: on v5e the int->float upcast runs at ~484 GB/s
         # vs 287 GB/s for the e4m3 bit-trick — the fastest 8-bit recipe.
         absmax = jnp.max(jnp.abs(w), axis=0) + 1e-8
         s = (absmax / 127.0).astype(jnp.float32)
         q = jnp.clip(jnp.round(w / s[None, :]), -127, 127).astype(jnp.int8)
         return {"w": q, "s": s}
-    if cfg.quant == "mxfp4":
+    if quant == "mxfp4":
         # MX FP4: e2m1 codes + per-32-group power-of-two scales, split-K
         # packed for the fused dequant-matmul kernel (w4a16 path).
         from vllm_xpu_kernels_tpu.utils import quant_math as qm
@@ -108,7 +109,15 @@ def _init_linear(key, fan_in, fan_out, cfg, quant_cols=True):
         packed = (lo.astype(jnp.uint8) | (hi.astype(jnp.uint8) << 4)
                   ).reshape(fan_in // 2, fan_out).astype(jnp.int8)
         return {"w": packed, "s": s.astype(jnp.float32)}
-    return {"w": w.astype(cfg.jdtype)}
+    return {"w": w.astype(dtype)}
+
+
+def _init_linear(key, fan_in, fan_out, cfg, quant_cols=True):
+    """-> dict with 'w' (+'s' scale when quantized).  fp8 weights are
+    stored [K, N] e4m3 with per-channel (per-N) scales."""
+    w = jax.random.normal(key, (fan_in, fan_out), jnp.float32)
+    w = w * (2.0 / (fan_in + fan_out)) ** 0.5
+    return quantize_linear(w, cfg.quant, cfg.jdtype)
 
 
 def _linear(x, p, tp_axis=None, reduce_out=False):
@@ -190,7 +199,8 @@ def init_kv_cache(cfg: LlamaConfig, num_blocks: int, kv_dtype=None):
     return ks, vs
 
 
-def param_tp_specs(cfg: LlamaConfig, tp_axis: str = "tp"):
+def param_tp_specs(cfg: LlamaConfig, tp_axis: str = "tp",
+                   untied_head: bool = False):
     """PartitionSpec pytree matching init_params: column-parallel
     projections shard outputs over tp, row-parallel shard inputs
     (Megatron layout; collectives inserted by the psum calls in the
@@ -212,12 +222,15 @@ def param_tp_specs(cfg: LlamaConfig, tp_axis: str = "tp"):
         "wgu": dict(col),
         "wd": dict(row),
     }
-    return {
+    tree = {
         "layers": [dict(layer) for _ in range(cfg.num_layers)],
         "embed": P(),
         "final_ln": P(),
         "rope": P(),
     }
+    if untied_head:
+        tree["lm_head"] = P()
+    return tree
 
 
 def params_for_tp(params, cfg: LlamaConfig, tp: int):
@@ -329,9 +342,10 @@ def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
         v_cache[li] = vc_l
     x = (x.astype(jnp.float32) + residual.astype(jnp.float32)).astype(x.dtype)
     x = ops.rms_norm(x, params["final_ln"], cfg.rms_eps)
-    # tied lm_head; embed is replicated across tp so logits already agree
-    logits = jnp.dot(x, params["embed"].T,
-                     preferred_element_type=jnp.float32)
+    # lm_head when the checkpoint is untied (Llama-3), else tied embed;
+    # both replicated across tp so logits already agree
+    head = params.get("lm_head", params["embed"])
+    logits = jnp.dot(x, head.T, preferred_element_type=jnp.float32)
     return logits, k_cache, v_cache
 
 
