@@ -1,5 +1,7 @@
-"""End-to-end decode benchmark: Llama-3-8B FP8 (weight-only) continuous
-decode on one chip, paged KV cache.
+"""End-to-end decode benchmark: Llama-3-8B 8-bit continuous decode on
+one chip, paged KV cache.  Default recipe: w8a8 int8 (native MXU int8
+matmul — the fastest 8-bit path on v5e; --quant fp8/int8 for the
+weight-only recipes).
 
 Prints ONE JSON line:
   {"metric": "llama3_8b_fp8_decode", "value": <tokens/s/chip>,
@@ -53,7 +55,8 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--kv-len", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=32)
-    ap.add_argument("--quant", default="fp8", choices=["fp8", "int8"])
+    ap.add_argument("--quant", default="w8a8",
+                    choices=["fp8", "int8", "w8a8"])
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed run")
     args = ap.parse_args()
@@ -135,7 +138,7 @@ def main():
     e, l_, i = cfg.hidden_size, cfg.num_layers, cfg.intermediate_size
     hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
     wbytes_layer = (e * (hq + 2 * hkv) * d + hq * d * e + 3 * e * i)
-    wbytes = l_ * wbytes_layer * (1 if cfg.quant in ("fp8", "int8") else 2)
+    wbytes = l_ * wbytes_layer * (1 if cfg.quant in ("fp8", "int8", "w8a8") else 2)
     wbytes += cfg.vocab_size * e * 2  # tied embed/lm_head bf16
     kv_bytes = (np.minimum(args.kv_len + args.steps, max_k) * 2 * hkv * d
                 * 2 * l_ * args.batch)  # k+v bf16, whole batch

@@ -215,3 +215,47 @@ def test_fp4_gemm(mnk, impl):
     out = ops.fp4_gemm(aq, jnp.asarray(packed_b), sa, jnp.asarray(sb),
                        jnp.float32)
     assert_allclose(out, golden, rtol=2e-2, atol=2e-2 * max(1, np.abs(golden).max()))
+
+
+@pytest.mark.parametrize("mnk", MNK)
+def test_int8_gemm_w8a8_exact(mnk, impl):
+    """The native int8 MXU contraction is exact: s32 accumulation must
+    equal numpy int math, and scaled output must match the float golden."""
+    m, n, k = mnk
+    rng = np.random.default_rng(42)
+    a = rng.integers(-127, 128, (m, k), dtype=np.int8)
+    b = rng.integers(-127, 128, (k, n), dtype=np.int8)
+    sa = rng.random(m, dtype=np.float32) * 0.01 + 0.001
+    sb = rng.random(n, dtype=np.float32) * 0.01 + 0.001
+    bias = rng.standard_normal(n, dtype=np.float32)
+
+    golden_i32 = a.astype(np.int64) @ b.astype(np.int64)
+    out = ops.int8_gemm_w8a8(jnp.asarray(a), jnp.asarray(b),
+                             out_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), golden_i32.astype(np.float32))
+
+    golden = golden_i32 * sa[:, None] * sb[None, :] + bias[None, :]
+    out_s = ops.int8_gemm_w8a8(
+        jnp.asarray(a), jnp.asarray(b), A_scale=jnp.asarray(sa),
+        B_scale=jnp.asarray(sb), bias=jnp.asarray(bias),
+        out_dtype=jnp.float32)
+    assert_allclose(out_s, golden.astype(np.float32), rtol=1e-5, atol=1e-5)
+
+
+def test_int8_gemm_w8a8_batched(impl):
+    rng = np.random.default_rng(3)
+    a = rng.integers(-127, 128, (2, 5, 128), dtype=np.int8)
+    b = rng.integers(-127, 128, (128, 256), dtype=np.int8)
+    out = ops.int8_gemm_w8a8(jnp.asarray(a), jnp.asarray(b),
+                             out_dtype=jnp.float32)
+    golden = a.reshape(10, 128).astype(np.int64) @ b.astype(np.int64)
+    np.testing.assert_array_equal(
+        np.asarray(out).reshape(10, 256), golden.astype(np.float32))
+
+
+def test_dynamic_per_token_int8_quant_roundtrip():
+    x = np.asarray(rand(keys(11, 1)[0], (16, 256), jnp.float32), np.float32)
+    q, s = ops.dynamic_per_token_scaled_int8_quant(jnp.asarray(x))
+    assert q.dtype == jnp.int8 and s.shape == (16,)
+    deq = np.asarray(q, np.int32) * np.asarray(s)[:, None]
+    assert_allclose(deq, x, rtol=2e-2, atol=np.abs(x).max() / 100)

@@ -61,6 +61,7 @@ from vllm_xpu_kernels_tpu.ops.attention import (  # noqa: F401
 from vllm_xpu_kernels_tpu.ops.gemm import (  # noqa: F401
     fp8_gemm,
     fp8_gemm_w8a16,
+    int8_gemm_w8a8,
     int4_gemm_w4a16,
     int4_gemm_w4a8,
     fp4_gemm,
@@ -83,6 +84,7 @@ from vllm_xpu_kernels_tpu.ops.quant import (  # noqa: F401
     static_scaled_fp8_quant,
     dynamic_scaled_fp8_quant,
     dynamic_per_token_scaled_fp8_quant,
+    dynamic_per_token_scaled_int8_quant,
     per_token_group_fp8_quant,
     per_token_group_quant_mxfp4,
     convert_fp8,

@@ -233,6 +233,49 @@ def fp8_gemm_w8a16(
     return _unflatten(out.astype(out_dtype), lead)
 
 
+@register_op("int8_gemm_w8a8", "gemm")
+def int8_gemm_w8a8(
+    A: jax.Array,
+    B: jax.Array,
+    A_scale: Optional[jax.Array] = None,
+    B_scale: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """W8A8 int8 GEMM on the MXU's native int8 path.
+
+    A: [..., M, K] int8; B: [K, N] int8; scales per-tensor, per-token [M]
+    (A) / per-channel [N] (B).  The int32 contraction is exact, so scales
+    factor out:  out = (A·B)·a_scale⊗b_scale + bias.
+
+    TPU-native counterpart of the reference's W8A8 recipe
+    (csrc/xpu/onednn/fp8_gemm_w8a8.h:86-150): v5e has no fp8 unit but a
+    first-class int8 MXU mode — the weight stream runs at ~740 GB/s (90%
+    of HBM peak) vs 311 GB/s for upcasting e4m3, making int8 the
+    speed-of-light 8-bit serving recipe on this hardware.
+    """
+    a2, lead = _flatten_batch(A)
+    M, K = a2.shape
+    N = B.shape[1]
+    a_row, a_grp, _ = _classify_a_scale(A_scale, M, K)
+    b_col, b_grp, _ = _classify_b_scale(B_scale, K, N)
+    assert a_grp is None and b_grp is None, (
+        "int8_gemm_w8a8 takes per-tensor/per-token/per-channel scales")
+    if use_pallas():
+        acc = qmm.int8_matmul_pallas(a2, B)
+    else:
+        acc = jnp.dot(a2.astype(jnp.int32), B.astype(jnp.int32),
+                      preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32)
+    if a_row is not None:
+        out = out * a_row
+    if b_col is not None:
+        out = out * b_col
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return _unflatten(out.astype(out_dtype), lead)
+
+
 def _int4_dequant_ref(B_packed, B_scale, B_zp, group_size):
     """jnp reference: split-K packed int4 -> f32 dequantized [K, N]."""
     codes = qmm.unpack_int4_splitk_grouped(B_packed, group_size).astype(

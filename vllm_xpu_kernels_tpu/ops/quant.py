@@ -104,6 +104,22 @@ def dynamic_per_token_scaled_fp8_quant(
     return q.reshape(orig_shape), s
 
 
+@register_op("dynamic_per_token_scaled_int8_quant", "quant")
+def dynamic_per_token_scaled_int8_quant(x: jax.Array):
+    """Per-token dynamic symmetric int8 quant -> (q int8, scales
+    [num_tokens]).  Activation-side half of the W8A8 int8 recipe
+    (ops.gemm.int8_gemm_w8a8); the reference fuses int8 per-token quant
+    into its norm kernels (csrc/layernorm_quant.cpp INT8 cases) — here the
+    standalone op lets XLA fuse it into whatever precedes the GEMM."""
+    orig_shape = x.shape
+    x2 = x.reshape(-1, orig_shape[-1]).astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x2), axis=-1)
+    s = jnp.maximum(absmax / 127.0, 1e-10)
+    q = jnp.clip(jnp.round(x2 * (1.0 / s)[:, None]), -127, 127
+                 ).astype(jnp.int8)
+    return q.reshape(orig_shape), s
+
+
 @register_op("per_token_group_fp8_quant", "quant")
 def per_token_group_fp8_quant(
     x: jax.Array,
