@@ -51,6 +51,52 @@ def test_reshape_and_cache_flash(kv_cache_dtype):
         assert np.all(flat_k[NB * BS - 1] == 0)
 
 
+@pytest.mark.parametrize("kv_cache_dtype", ["auto", "fp8"])
+@pytest.mark.parametrize("hs_v", [HS, 32])
+def test_reshape_and_cache_tpu(kv_cache_dtype, hs_v):
+    """TPU-native [nb, H, bs, hs] page layout; hs_v != hs covers the MLA
+    split-head case.  Golden: per-token row placement + dropped padding."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    k1, k2 = keys(3, 2)
+    T = 24
+    cache_dtype = (jnp.bfloat16 if kv_cache_dtype == "auto"
+                   else jnp.float8_e4m3fn)
+    key = rand(k1, (T, H, HS), jnp.bfloat16)
+    val = rand(k2, (T, H, hs_v), jnp.bfloat16)
+    kc = jnp.zeros((NB, H, BS, HS), cache_dtype)
+    vc = jnp.zeros((NB, H, BS, hs_v), cache_dtype)
+    slots = random_slots(rng, T)
+    scale = jnp.asarray([0.01], jnp.float32)
+    kc2, vc2 = jax.jit(ops.reshape_and_cache_tpu, static_argnums=(5,))(
+        key, val, kc, vc, jnp.asarray(slots), kv_cache_dtype, scale, scale)
+    kn = np.asarray(kc2, np.float32)
+    vn = np.asarray(vc2, np.float32)
+    for i, s in enumerate(slots):
+        if s < 0:
+            continue
+        b, off = divmod(int(s), BS)
+        ek = np.asarray(key, np.float32)[i]
+        ev = np.asarray(val, np.float32)[i]
+        if kv_cache_dtype == "fp8":
+            np.testing.assert_allclose(kn[b, :, off] * 0.01, ek,
+                                       rtol=0.1, atol=0.02)
+            np.testing.assert_allclose(vn[b, :, off] * 0.01, ev,
+                                       rtol=0.1, atol=0.02)
+        else:
+            np.testing.assert_allclose(kn[b, :, off], ek, rtol=1e-2,
+                                       atol=1e-2)
+            np.testing.assert_allclose(vn[b, :, off], ev, rtol=1e-2,
+                                       atol=1e-2)
+    # untouched slots stay zero (drop semantics for the -1 sentinel)
+    written = {int(s) for s in slots if s >= 0}
+    for s in range(NB * BS):
+        if s not in written:
+            b, off = divmod(s, BS)
+            assert np.all(kn[b, :, off] == 0), (b, off)
+
+
 def test_reshape_and_cache_legacy():
     rng = np.random.default_rng(1)
     k1, k2 = keys(1, 2)

@@ -113,14 +113,25 @@ def reshape_and_cache_tpu(
     nb, h, bs, hs = key_cache.shape
     idx = _slots(slot_mapping, nb * bs)
     block = idx // bs
-    off = jnp.where(idx >= nb * bs, bs, idx % bs)
+    off = idx % bs
+    # Flat row-scatter: indexing the 4-D cache at [block, :, off, :] makes
+    # XLA prefer a heads-minor layout for the scatter and insert a
+    # full-cache layout copy per layer per step to feed the Pallas
+    # attention kernels (measured 247 us x n_layers on v5e — 25% of the
+    # 8B decode step).  Scattering [T, H] rows of a [nb*H*bs, hs] view is
+    # layout-neutral: same memory, no copies.
+    rows = (block[:, None] * (h * bs) + jnp.arange(h)[None, :] * bs
+            + off[:, None])                                   # [T, H]
+    rows = jnp.where((idx < nb * bs)[:, None], rows, nb * h * bs)
     kq = _maybe_quant(key, kv_cache_dtype, k_scale).astype(key_cache.dtype)
     vq = _maybe_quant(value, kv_cache_dtype, v_scale).astype(value_cache.dtype)
-    key_cache = key_cache.at[block, :, off, :].set(
-        kq, mode="drop", unique_indices=True)
-    value_cache = value_cache.at[block, :, off, :].set(
-        vq, mode="drop", unique_indices=True)
-    return key_cache, value_cache
+    hs_v = value_cache.shape[-1]     # MLA: value head size != qk head size
+    flat_k = key_cache.reshape(nb * h * bs, hs)
+    flat_v = value_cache.reshape(nb * h * bs, hs_v)
+    flat_k = flat_k.at[rows].set(kq, mode="drop", unique_indices=True)
+    flat_v = flat_v.at[rows].set(vq, mode="drop", unique_indices=True)
+    return (flat_k.reshape(key_cache.shape),
+            flat_v.reshape(value_cache.shape))
 
 
 @register_op("reshape_and_cache", "cache")
