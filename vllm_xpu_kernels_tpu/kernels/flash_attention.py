@@ -102,22 +102,22 @@ def _decode_kernel(
     spec,
     # scalar prefetch
     kv_lens_ref, tbl_ref, sink_ref, descale_ref,
-    # tensor inputs
-    q_ref,            # [1, Hkv, G, D]   (all heads of one sequence)
-    k_ref,            # [1, Hkv, bs, D]  (one whole page, all kv heads)
-    v_ref,            # [1, Hkv, bs, Dv]
-    # outputs
-    o_ref,            # [1, Hkv, G, Dv]
-    lse_ref,          # [1, Hkv, G, 1]
-    # scratch [Hkv, G, ...]
-    m_ref, l_ref, acc_ref,
+    # tensor inputs: q, then P (k, v) page pairs
+    *refs,
 ):
-    """One grid step = one (sequence, page): all KV heads ride in a single
-    page DMA (the [nb, Hkv, bs, D] layout keeps a page contiguous) and the
-    whole page is consumed by head-batched dot_generals.  8x fewer grid
-    steps than a (seq, head, page) grid and no per-head small-op loop —
-    644 GB/s on v5e (79% of HBM peak) at batch 32, kv 1024."""
+    """One grid step = one (sequence, P pages): all KV heads ride in one
+    page DMA per page (the [nb, Hkv, bs, D] layout keeps a page
+    contiguous), P pages are concatenated in VMEM and consumed by
+    head-batched dot_generals.  Fat steps amortize the ~1 us per-grid-step
+    pipeline cost that bounds paged decode: 1 page/step measured 644 GB/s,
+    2 pages/step 740+ GB/s on v5e at batch 32, kv 1024."""
     import jax.experimental.pallas as pl
+
+    P = spec["pages_per_step"]
+    q_ref = refs[0]
+    k_refs = refs[1:1 + P]
+    v_refs = refs[1 + P:1 + 2 * P]
+    o_ref, lse_ref, m_ref, l_ref, acc_ref = refs[1 + 2 * P:]
 
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -126,7 +126,7 @@ def _decode_kernel(
     hkv = spec["hkv"]
 
     kv_len = kv_lens_ref[b]
-    n_tiles = jnp.maximum((kv_len + bs - 1) // bs, 1)
+    n_steps = jnp.maximum((kv_len + P * bs - 1) // (P * bs), 1)
 
     @pl.when(j == 0)
     def _():
@@ -134,40 +134,45 @@ def _decode_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(j < n_tiles)
+    @pl.when(j < n_steps)
     def _():
         from vllm_xpu_kernels_tpu.kernels.quant_matmul import fp8_upcast_f32
 
         # batched over kv heads: [hkv, g, d] x [hkv, bs, d] -> [hkv, g, bs]
         # (a per-head python loop of tiny 2-D dots ran at 408 GB/s; the
-        # batched dot_general reaches 644 GB/s — 79% of v5e HBM peak)
+        # head-batched dot_generals reach 740+ GB/s).  The P pages of the
+        # step are separate unrolled updates — concatenating them in VMEM
+        # measured slower (2 MB VPU copy per step).
         q = q_ref[0].astype(jnp.float32) * spec["scale"]
-        k = fp8_upcast_f32(k_ref[0])
-        v = fp8_upcast_f32(v_ref[0])
-        if spec["fp8_kv"]:
-            k = k * descale_ref[0, 0]
-            v = v * descale_ref[0, 1]
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)          # [hkv, g, bs]
-        if spec["softcap"]:
-            s = spec["softcap"] * jnp.tanh(s / spec["softcap"])
-        kpos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, g, bs), 2)
-        mask = kpos >= kv_len
-        if spec["window_left"] >= 0:
-            mask = mask | (kpos < kv_len - 1 - spec["window_left"])
-        s = jnp.where(mask, -jnp.inf, s)
-        cur = jnp.max(s, axis=-1, keepdims=True)
-        m_old = m_ref[...]
-        m_new = jnp.maximum(jnp.maximum(cur, m_old), _NEG)
-        alpha = jnp.exp(m_old - m_new)
-        p = jnp.exp(s - m_new)
-        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)          # [hkv, g, dv]
-        acc_ref[...] = acc_ref[...] * alpha + pv
-        m_ref[...] = m_new
+        for pi in range(P):
+            k = fp8_upcast_f32(k_refs[pi][0])
+            v = fp8_upcast_f32(v_refs[pi][0])
+            if spec["fp8_kv"]:
+                k = k * descale_ref[0, 0]
+                v = v * descale_ref[0, 1]
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # [hkv, g, bs]
+            if spec["softcap"]:
+                s = spec["softcap"] * jnp.tanh(s / spec["softcap"])
+            kpos = ((j * P + pi) * bs
+                    + jax.lax.broadcasted_iota(jnp.int32, (1, g, bs), 2))
+            mask = kpos >= kv_len
+            if spec["window_left"] >= 0:
+                mask = mask | (kpos < kv_len - 1 - spec["window_left"])
+            s = jnp.where(mask, -jnp.inf, s)
+            cur = jnp.max(s, axis=-1, keepdims=True)
+            m_old = m_ref[...]
+            m_new = jnp.maximum(jnp.maximum(cur, m_old), _NEG)
+            alpha = jnp.exp(m_old - m_new)
+            p = jnp.exp(s - m_new)
+            l_ref[...] = (l_ref[...] * alpha
+                          + jnp.sum(p, axis=-1, keepdims=True))
+            pv = jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # [hkv, g, dv]
+            acc_ref[...] = acc_ref[...] * alpha + pv
+            m_ref[...] = m_new
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
@@ -200,6 +205,7 @@ def paged_decode(
     k_descale, v_descale,
     max_seqlen_k: int,
     num_splits_kv: int = 0,       # accepted for parity; see module doc
+    pages_per_step: Optional[int] = None,
 ):
     """-> (out [B, Hq, Dv], lse [Hq, B])."""
     import jax.experimental.pallas as pl
@@ -211,6 +217,12 @@ def paged_decode(
     dv = v_cache.shape[-1]
     g = hq // hkv
     n_tiles = _cdiv(min(max_seqlen_k, nb * bs), bs)
+    # pages per grid step: fat steps amortize per-step pipeline cost; cap
+    # VMEM at ~2 MB of pages per buffered stage.
+    page_bytes = hkv * bs * (d + dv) * k_cache.dtype.itemsize
+    pp = pages_per_step or max(
+        1, min(n_tiles, 2 * 1024 * 1024 // max(page_bytes, 1), 4))
+    n_steps = _cdiv(n_tiles, pp)
 
     # layout: [B, Hkv, G, D]; the q block picks the kv-head's G q-heads
     # (block dims equal the trailing array dims, satisfying Mosaic tiling).
@@ -230,26 +242,31 @@ def paged_decode(
         softcap=float(softcap or 0.0),
         window_left=int(window[0]), has_sink=sink is not None,
         fp8_kv=k_cache.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2),
+        pages_per_step=pp,
     )
 
     def q_map(b, j, kv_lens, tbl):
         return (b, 0, 0, 0)
 
-    def kv_map(b, j, kv_lens, tbl):
-        last = jnp.maximum((kv_lens[b] + bs - 1) // bs - 1, 0)
-        jc = jnp.minimum(j, last)
-        return (tbl[b, jc], 0, 0, 0)
+    def kv_map_p(p):
+        def kv_map(b, j, kv_lens, tbl):
+            last = jnp.maximum((kv_lens[b] + bs - 1) // bs - 1, 0)
+            jc = jnp.minimum(j * pp + p, last)
+            return (tbl[b, jc], 0, 0, 0)
+        return kv_map
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b_, n_tiles),
+        grid=(b_, n_steps),
         in_specs=[
             pl.BlockSpec((hkv, g, 1), lambda b, j, *_: (0, 0, 0)),   # sink
             pl.BlockSpec((1, 2), lambda b, j, *_: (0, 0),
                          memory_space=pltpu.SMEM),                   # descale
             pl.BlockSpec((1, hkv, g, d), q_map),
-            pl.BlockSpec((1, hkv, bs, d), kv_map),
-            pl.BlockSpec((1, hkv, bs, dv), kv_map),
+        ] + [
+            pl.BlockSpec((1, hkv, bs, d), kv_map_p(p)) for p in range(pp)
+        ] + [
+            pl.BlockSpec((1, hkv, bs, dv), kv_map_p(p)) for p in range(pp)
         ],
         out_specs=[
             pl.BlockSpec((1, hkv, g, dv), lambda b, j, *_: (b, 0, 0, 0)),
@@ -274,7 +291,7 @@ def paged_decode(
         ),
         interpret=interpret_mode(),
     )(seqused_k.astype(jnp.int32), block_table.astype(jnp.int32),
-      sink_arr, desc, q4, k_cache, v_cache)
+      sink_arr, desc, q4, *([k_cache] * pp), *([v_cache] * pp))
     return out.reshape(b_, hq, dv), lse4.reshape(b_, hq).T
 
 

@@ -188,12 +188,19 @@ def init_params(cfg: LlamaConfig, key=None):
         })
     embed = (jax.random.normal(keys[-2], (cfg.vocab_size, e), jnp.float32)
              * 0.02).astype(cfg.jdtype)
-    return {
+    params = {
         "layers": layers,
         "embed": embed,                       # tied with lm_head
         "final_ln": jnp.ones((e,), cfg.jdtype),
         "rope": _rope_cache(cfg),
     }
+    if cfg.quant == "w8a8":
+        # per-vocab-channel int8 logits head: halves the largest single
+        # weight read of the decode step (vocab*E bf16); the bf16 embed
+        # stays for token-row lookups.
+        params["lm_head_q"] = quantize_linear(
+            embed.T.astype(jnp.float32), "w8a8")
+    return params
 
 
 def init_kv_cache(cfg: LlamaConfig, num_blocks: int, kv_dtype=None):
@@ -240,6 +247,8 @@ def param_tp_specs(cfg: LlamaConfig, tp_axis: str = "tp",
     }
     if untied_head:
         tree["lm_head"] = P()
+    if cfg.quant == "w8a8":
+        tree["lm_head_q"] = {"w": P(), "s8": P()}
     return tree
 
 
@@ -354,9 +363,13 @@ def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
     x = (x.astype(jnp.float32) + residual.astype(jnp.float32)).astype(x.dtype)
     x = ops.rms_norm(x, params["final_ln"], cfg.rms_eps)
     # lm_head when the checkpoint is untied (Llama-3), else tied embed;
-    # both replicated across tp so logits already agree
-    head = params.get("lm_head", params["embed"])
-    logits = jnp.dot(x, head.T, preferred_element_type=jnp.float32)
+    # both replicated across tp so logits already agree.  w8a8 trees carry
+    # a pre-quantized int8 head ([E, V] + per-vocab scales).
+    if "lm_head_q" in params:
+        logits = _linear(x, params["lm_head_q"]).astype(jnp.float32)
+    else:
+        head = params.get("lm_head", params["embed"])
+        logits = jnp.dot(x, head.T, preferred_element_type=jnp.float32)
     return logits, k_cache, v_cache
 
 

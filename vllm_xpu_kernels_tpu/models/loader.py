@@ -193,6 +193,11 @@ def load_llama_params(
     }
     if ck.has("lm_head.weight"):
         params["lm_head"] = put(ck.get("lm_head.weight").astype(cfg.dtype))
+    if quant == "w8a8":
+        head = ck.get("lm_head.weight") if ck.has("lm_head.weight") \
+            else ck.get("model.embed_tokens.weight")
+        q = quantize_linear(jnp.asarray(head.T), "w8a8")
+        params["lm_head_q"] = {k: put(v) for k, v in q.items()}
     return params
 
 
