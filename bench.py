@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--quant", default="w8a8",
                     choices=["fp8", "int8", "w8a8"])
+    ap.add_argument("--kv-dtype", default="bf16",
+                    choices=["bf16", "e5m2", "e4m3"],
+                    help="KV-cache dtype (fp8 halves KV bytes; e5m2 has "
+                         "the fast native upcast path on v5e)")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed run")
     args = ap.parse_args()
@@ -82,7 +86,11 @@ def main():
     blocks_per_seq = -(-(args.kv_len + args.steps + 1) // bs)
     num_blocks = args.batch * blocks_per_seq + 1
     params = init_params(cfg, jax.random.PRNGKey(0))
-    kc, vc = init_kv_cache(cfg, num_blocks)
+    kv_dt = {"bf16": jnp.bfloat16, "e5m2": jnp.float8_e5m2,
+             "e4m3": jnp.float8_e4m3fn}[args.kv_dtype]
+    kc, vc = init_kv_cache(cfg, num_blocks, kv_dtype=kv_dt)
+    kv_scale = (jnp.asarray(1.0, jnp.float32)
+                if args.kv_dtype != "bf16" else None)
 
     # continuous-batching state: B sequences mid-generation
     mgr = BlockManager(num_blocks, bs)
@@ -112,7 +120,7 @@ def main():
             pos, slots, kvl = xs
             logits, kc, vc = decode_step(
                 cfg, p, tok, pos, slots, tbl, kvl, kc, vc,
-                max_seqlen_k=max_k)
+                max_seqlen_k=max_k, k_scale=kv_scale, v_scale=kv_scale)
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (nxt, kc, vc), None
         (tok, kc, vc), _ = jax.lax.scan(
@@ -139,16 +147,20 @@ def main():
     hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
     wbytes_layer = (e * (hq + 2 * hkv) * d + hq * d * e + 3 * e * i)
     wbytes = l_ * wbytes_layer * (1 if cfg.quant in ("fp8", "int8", "w8a8") else 2)
-    wbytes += cfg.vocab_size * e * 2  # tied embed/lm_head bf16
-    kv_bytes = (np.minimum(args.kv_len + args.steps, max_k) * 2 * hkv * d
-                * 2 * l_ * args.batch)  # k+v bf16, whole batch
+    # logits head: int8 for w8a8 (pre-quantized lm_head_q), else bf16
+    wbytes += cfg.vocab_size * e * (1 if cfg.quant == "w8a8" else 2)
+    kvb = 1 if args.kv_dtype != "bf16" else 2
+    kv_bytes = (np.minimum(args.kv_len + args.steps, max_k) * kvb * hkv * d
+                * 2 * l_ * args.batch)  # k+v, whole batch
     step_bytes = wbytes + kv_bytes
     bw = HBM_GBPS[_chip_kind()] * 1e9
     roofline_tok_s = args.batch / (step_bytes / bw)
     frac = tok_s / roofline_tok_s
 
     print(json.dumps({
-        "metric": (f"llama3_8b_{args.quant}_decode" if not args.small
+        "metric": (f"llama3_8b_{args.quant}_decode"
+                   + ("" if args.kv_dtype == "bf16"
+                      else f"_kv{args.kv_dtype}") if not args.small
                    else "llama_small_fp8_decode"),
         "value": round(tok_s, 2),
         "unit": "tok/s",
