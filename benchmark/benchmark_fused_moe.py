@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--tokens", type=int, default=128)
     ap.add_argument("--topk", type=int, default=2)
     ap.add_argument("--quant", default="none",
-                    choices=["none", "fp8_channel"])
+                    choices=["none", "fp8_channel", "w8a8"])
     args = ap.parse_args()
 
     import jax
@@ -51,6 +51,15 @@ def main():
         w2 = jnp.asarray(rng.standard_normal((e, inter, d)) * 0.05,
                          jnp.bfloat16)
         wbytes = (w13.size + w2.size) * 2
+    elif args.quant == "w8a8":
+        w13 = jnp.asarray(
+            rng.integers(-127, 128, (e, d, i2), dtype=np.int8))
+        w2 = jnp.asarray(
+            rng.integers(-127, 128, (e, inter, d), dtype=np.int8))
+        kwargs = dict(
+            w13_scales=jnp.full((e, i2), 4e-4, jnp.float32),
+            w2_scales=jnp.full((e, d), 4e-4, jnp.float32))
+        wbytes = w13.size + w2.size
     else:
         w13 = jnp.asarray(rng.standard_normal((e, d, i2)) * 0.05,
                           jnp.float8_e4m3fn)

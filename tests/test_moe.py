@@ -156,7 +156,7 @@ def _dense_moe_golden(x, w13, w2, tw, ti, act="silu", ep_map=None):
     return out
 
 
-@pytest.mark.parametrize("quant", ["none", "fp8_channel", "int4", "mxfp4"])
+@pytest.mark.parametrize("quant", ["none", "fp8_channel", "w8a8", "int4", "mxfp4"])
 def test_tpu_fused_moe(quant, impl):
     t, d, inter, e, k = 24, 128, 256, 8, 2
     rng = np.random.default_rng(5)
@@ -177,6 +177,16 @@ def test_tpu_fused_moe(quant, impl):
         s2 = np.abs(w2f).max(1) / 448 + 1e-8
         w13 = jnp.asarray(w13f / s13[:, None, :], jnp.float8_e4m3fn)
         w2 = jnp.asarray(w2f / s2[:, None, :], jnp.float8_e4m3fn)
+        w13_dq = np.asarray(w13, np.float32) * s13[:, None, :]
+        w2_dq = np.asarray(w2, np.float32) * s2[:, None, :]
+        kwargs = dict(w13_scales=jnp.asarray(s13), w2_scales=jnp.asarray(s2))
+    elif quant == "w8a8":
+        s13 = np.abs(w13f).max(1) / 127 + 1e-8     # [E, 2I]
+        s2 = np.abs(w2f).max(1) / 127 + 1e-8
+        w13 = jnp.asarray(np.clip(np.round(w13f / s13[:, None, :]),
+                                  -127, 127), jnp.int8)
+        w2 = jnp.asarray(np.clip(np.round(w2f / s2[:, None, :]),
+                                 -127, 127), jnp.int8)
         w13_dq = np.asarray(w13, np.float32) * s13[:, None, :]
         w2_dq = np.asarray(w2, np.float32) * s2[:, None, :]
         kwargs = dict(w13_scales=jnp.asarray(s13), w2_scales=jnp.asarray(s2))
@@ -216,7 +226,7 @@ def test_tpu_fused_moe(quant, impl):
         activation="silu", block_m=32, **kwargs)
     golden = _dense_moe_golden(np.asarray(x, np.float32), w13_dq, w2_dq,
                                tw_np, ti_np)
-    tol = {"none": 2e-2, "fp8_channel": 4e-2, "int4": 4e-2,
+    tol = {"none": 2e-2, "fp8_channel": 4e-2, "w8a8": 4e-2, "int4": 4e-2,
            "mxfp4": 4e-2}[quant]
     assert_allclose(out, golden, rtol=tol,
                     atol=tol * max(1.0, np.abs(golden).max()))

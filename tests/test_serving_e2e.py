@@ -216,3 +216,32 @@ def test_deepseek_decode():
     # cache got the MLA head sizes
     assert kc[0].shape[-1] == cfg.qk_head_dim
     assert vc[0].shape[-1] == cfg.v_head_dim
+
+
+def test_mixtral_w8a8_decode():
+    """w8a8 Mixtral: int8 expert weights through the native-s8 grouped
+    GEMM, int8 attention linears, finite logits near the bf16 model."""
+    from vllm_xpu_kernels_tpu.models import mixtral as MX
+    from vllm_xpu_kernels_tpu.models import init_kv_cache
+
+    kw = dict(hidden_size=64, num_layers=2, num_q_heads=4, num_kv_heads=2,
+              head_dim=16, intermediate_size=128, vocab_size=128,
+              max_position=64, block_size=16, num_experts=4, top_k=2)
+    b = 4
+    tok = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    kv_lens = jnp.full((b,), 9, jnp.int32)
+    positions = kv_lens - 1
+    tbl = jnp.asarray(np.arange(b * 2).reshape(b, 2), jnp.int32)
+    slots = (tbl[:, 0] * 16 + 8).astype(jnp.int32)
+
+    outs = {}
+    for quant in ("none", "w8a8"):
+        cfg = MX.MixtralConfig(quant=quant, **kw)
+        params = MX.init_params(cfg, jax.random.PRNGKey(3))
+        kc, vc = init_kv_cache(cfg, 16)
+        logits, _, _ = MX.decode_step(
+            cfg, params, tok, positions, slots, tbl, kv_lens, kc, vc,
+            max_seqlen_k=32)
+        outs[quant] = np.asarray(logits, np.float32)
+    assert np.isfinite(outs["w8a8"]).all()
+    assert_allclose(outs["w8a8"], outs["none"], rtol=2e-1, atol=2e-1)

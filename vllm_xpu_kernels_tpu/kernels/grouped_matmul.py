@@ -60,6 +60,14 @@ def _gmm_kernel(spec, expert_blk_ref, *refs):
 
     @pl.when(valid)
     def _():
+        if spec["quant"] == "w8a8":
+            # native s8xs8 MXU contraction, exact s32 accumulation —
+            # per-expert channel scales applied in the final K step,
+            # per-token activation scales by the caller (they factor out)
+            acc_ref[:] += jax.lax.dot_general(
+                a_ref[...], b_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return
         a = a_ref[...]
         if a.dtype == jnp.float16:
             a = a.astype(jnp.float32)   # Mosaic has no f16->bf16 cast
@@ -87,7 +95,10 @@ def _gmm_kernel(spec, expert_blk_ref, *refs):
     @pl.when(k == nk - 1)
     def _():
         out = acc_ref[:]
-        if spec["quant"] in ("fp8", "fp8_channel") and s_ref is not None:
+        if spec["quant"] == "w8a8":
+            out = out.astype(jnp.float32)
+        if (spec["quant"] in ("fp8", "fp8_channel", "w8a8")
+                and s_ref is not None):
             out = out * s_ref[0].astype(jnp.float32)   # [1, bn] per-channel
         if bias_ref is not None:
             out = out + bias_ref[0].astype(jnp.float32)
@@ -101,7 +112,7 @@ def grouped_matmul_pallas(
     *,
     scales: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
-    quant: str = "none",        # none | fp8 | fp8_channel | int4 | mxfp4
+    quant: str = "none",   # none | fp8 | fp8_channel | w8a8 | int4 | mxfp4
     group_size: int = 0,
     block_m: int = 128,
     block_n: int = 512,
@@ -121,7 +132,8 @@ def grouped_matmul_pallas(
     assert r % block_m == 0, (r, block_m)
     bm = block_m
     bn = min(block_n, _round_up(n, 128))
-    if packed or quant == "none" or quant.startswith("fp8"):
+    if (packed or quant == "none" or quant.startswith("fp8")
+            or quant == "w8a8"):
         if packed:
             g = group_size
             step = g * 128 // _gcd(g, 128)
@@ -167,7 +179,7 @@ def grouped_matmul_pallas(
             in_specs.append(pl.BlockSpec((b_sub, 1, bn), s_map))
             operands.append(s3)
         else:
-            # fp8: per-expert scalar or per-channel -> [E, 1, N]
+            # fp8/w8a8: per-expert scalar or per-channel -> [E, 1, N]
             s = scales.astype(jnp.float32)
             if s.ndim == 1:
                 s = jnp.broadcast_to(s[:, None], (e, n))
@@ -192,7 +204,9 @@ def grouped_matmul_pallas(
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, eb: (i, j)),
-            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM(
+                (bm, bn),
+                jnp.int32 if quant == "w8a8" else jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((r, n), out_dtype),
         compiler_params=pltpu.CompilerParams(

@@ -53,6 +53,17 @@ def init_params(cfg: MixtralConfig, key=None):
                 jnp.float8_e4m3fn), "s": s13.astype(jnp.float32)}
             lp["w2"] = {"w": (w2 / s2[:, None, :]).astype(
                 jnp.float8_e4m3fn), "s": s2.astype(jnp.float32)}
+        elif cfg.quant == "w8a8":
+            # per-expert-channel int8 weights; activations quantized
+            # per token inside the fused pipeline (native s8 MXU path)
+            s13 = jnp.max(jnp.abs(w13), axis=1) / 127.0 + 1e-8
+            s2 = jnp.max(jnp.abs(w2), axis=1) / 127.0 + 1e-8
+            lp["w13"] = {"w": jnp.clip(jnp.round(w13 / s13[:, None, :]),
+                                       -127, 127).astype(jnp.int8),
+                         "s8": s13.astype(jnp.float32)}
+            lp["w2"] = {"w": jnp.clip(jnp.round(w2 / s2[:, None, :]),
+                                      -127, 127).astype(jnp.int8),
+                        "s8": s2.astype(jnp.float32)}
         else:
             lp["w13"] = {"w": w13.astype(cfg.jdtype)}
             lp["w2"] = {"w": w2.astype(cfg.jdtype)}
@@ -65,10 +76,15 @@ def init_params(cfg: MixtralConfig, key=None):
 def _moe_mlp(cfg: MixtralConfig, lp, x, tp_axis, ep_axis):
     gating = jnp.dot(x.astype(jnp.float32), lp["router"].astype(jnp.float32))
     tw, ti = ops.topk_softmax(gating, cfg.top_k, renormalize=True)
-    quant = "fp8_channel" if "s" in lp["w13"] else "none"
     kwargs = {}
-    if quant == "fp8_channel":
+    if "s8" in lp["w13"]:
+        quant = "w8a8"
+        kwargs = dict(w13_scales=lp["w13"]["s8"], w2_scales=lp["w2"]["s8"])
+    elif "s" in lp["w13"]:
+        quant = "fp8_channel"
         kwargs = dict(w13_scales=lp["w13"]["s"], w2_scales=lp["w2"]["s"])
+    else:
+        quant = "none"
     if ep_axis is not None:
         from vllm_xpu_kernels_tpu.parallel.moe import ep_fused_moe
 

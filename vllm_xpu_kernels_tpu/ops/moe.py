@@ -411,7 +411,7 @@ def tpu_fused_moe(
     w13_bias: Optional[jax.Array] = None,
     w2_bias: Optional[jax.Array] = None,
     activation: str = "silu",
-    quant: str = "none",           # none | fp8_channel | int4 | mxfp4
+    quant: str = "none",   # none | fp8_channel | w8a8 | int4 | mxfp4
     group_size: int = 0,           # K-group for int4/mxfp4 scales
     num_experts: Optional[int] = None,
     ep_rank: int = 0,
@@ -459,11 +459,26 @@ def tpu_fused_moe(
         rp = sorted_ids.shape[0]
         src_rows = jnp.clip(sorted_ids // k, 0, t - 1)
         a_sorted = jnp.take(hidden_states, src_rows, axis=0)
-        g1 = gmm.grouped_matmul_pallas(
-            a_sorted, w13, expert_blk,
-            scales=w13_scales, bias=w13_bias, quant=quant,
-            group_size=group_size, block_m=block_m,
-            out_dtype=hidden_states.dtype)
+        if quant == "w8a8":
+            # per-token int8 activations feed the native s8 MXU path;
+            # the token scales factor out to an O(R*N) epilogue
+            from vllm_xpu_kernels_tpu.ops.quant import (
+                dynamic_per_token_scaled_int8_quant as _a8)
+
+            aq, a_s = _a8(a_sorted)
+            g1 = gmm.grouped_matmul_pallas(
+                aq, w13, expert_blk,
+                scales=w13_scales, bias=None, quant=quant,
+                block_m=block_m, out_dtype=jnp.float32)
+            g1 = g1 * a_s[:, None]
+            if w13_bias is not None:
+                raise NotImplementedError("w8a8 MoE bias")
+        else:
+            g1 = gmm.grouped_matmul_pallas(
+                a_sorted, w13, expert_blk,
+                scales=w13_scales, bias=w13_bias, quant=quant,
+                group_size=group_size, block_m=block_m,
+                out_dtype=hidden_states.dtype)
         if gemm1_clamp_limit is not None and gemm1_clamp_limit > 0:
             inter = inter2 // 2
             gate = jnp.clip(g1[:, :inter], a_max=gemm1_clamp_limit)
@@ -471,11 +486,19 @@ def tpu_fused_moe(
                           gemm1_clamp_limit)
             g1 = jnp.concatenate([gate, up], axis=-1)
         a2 = act(g1)
-        g2 = gmm.grouped_matmul_pallas(
-            a2, w2, expert_blk,
-            scales=w2_scales, bias=w2_bias, quant=quant,
-            group_size=group_size, block_m=block_m,
-            out_dtype=hidden_states.dtype)
+        if quant == "w8a8":
+            a2q, a2_s = _a8(a2.astype(jnp.bfloat16))
+            g2 = gmm.grouped_matmul_pallas(
+                a2q, w2, expert_blk,
+                scales=w2_scales, bias=None, quant=quant,
+                block_m=block_m, out_dtype=jnp.float32)
+            g2 = (g2 * a2_s[:, None]).astype(hidden_states.dtype)
+        else:
+            g2 = gmm.grouped_matmul_pallas(
+                a2, w2, expert_blk,
+                scales=w2_scales, bias=w2_bias, quant=quant,
+                group_size=group_size, block_m=block_m,
+                out_dtype=hidden_states.dtype)
         # weighted scatter-reduce back to token order
         flat = jnp.clip(sorted_ids, 0, t * k)     # t*k == padding sentinel
         wflat = jnp.concatenate(
@@ -496,6 +519,20 @@ def tpu_fused_moe(
     elif quant == "fp8_channel":
         deq13, deq2 = w13, w2
         s13, s2 = w13_scales, w2_scales
+    elif quant == "w8a8":
+        # golden twin: quantize-dequantize activations per token, then
+        # f32 matmuls with dequantized int8 weights
+        from vllm_xpu_kernels_tpu.ops.quant import (
+            dynamic_per_token_scaled_int8_quant as _a8)
+
+        q, s = _a8(remapped)
+        remapped = (q.astype(jnp.float32) * s[:, None]
+                    ).astype(hidden_states.dtype)
+        deq13 = w13.astype(jnp.float32) * w13_scales.astype(
+            jnp.float32)[:, None, :]
+        deq2 = w2.astype(jnp.float32) * w2_scales.astype(
+            jnp.float32)[:, None, :]
+        s13 = s2 = None
     else:
         deq13 = _dequant_moe_weights(w13, w13_scales, quant, group_size)
         deq2 = _dequant_moe_weights(w2, w2_scales, quant, group_size)
