@@ -47,6 +47,17 @@ class BlockManager:
         self.free.extend(reversed(self.tables.pop(seq_id)))
         del self.lens[seq_id]
 
+    def rollback(self, seq_id: int, n_tokens: int):
+        """Shrink a sequence to ``n_tokens`` (speculative-decode reject
+        path): KV entries past the new length become dead and are simply
+        overwritten later; whole trailing blocks are freed."""
+        assert n_tokens <= self.lens[seq_id]
+        need = max(1, -(-n_tokens // self.block_size))
+        tbl = self.tables[seq_id]
+        while len(tbl) > need:
+            self.free.append(tbl.pop())
+        self.lens[seq_id] = n_tokens
+
     def slot(self, seq_id: int, pos: int) -> int:
         tbl = self.tables[seq_id]
         return tbl[pos // self.block_size] * self.block_size + (
