@@ -17,3 +17,5 @@ from vllm_xpu_kernels_tpu.models import mixtral  # noqa: F401
 from vllm_xpu_kernels_tpu.models import deepseek  # noqa: F401
 from vllm_xpu_kernels_tpu.models import qwen3_next  # noqa: F401
 from vllm_xpu_kernels_tpu.models import loader  # noqa: F401
+from vllm_xpu_kernels_tpu.models import precompile  # noqa: F401
+from vllm_xpu_kernels_tpu.models import spec_decode  # noqa: F401
