@@ -92,9 +92,12 @@ def main():
     tf = (gemm_flops + attn_flops) / p50 / 1e12
     print(f"# chip={detect_chip()} batch={args.batch} "
           f"prompt={args.prompt_len} quant={cfg.quant}")
+    # w8a8 GEMMs run on the MXU's int8 mode (2x the bf16 rate)
+    peak_key = "int8_tops" if cfg.quant == "w8a8" else "bf16_tflops"
+    peak = preset()[peak_key]
     print(f"p50 TTFT: {p50*1e3:.1f} ms   p90: {p90*1e3:.1f} ms   "
           f"prefill: {tokens/p50:,.0f} tok/s  {tf:.1f} TFLOPS "
-          f"({100*tf/preset()['bf16_tflops']:.1f}% of bf16 peak)")
+          f"({100*tf/peak:.1f}% of {peak_key.split('_')[0]} peak)")
 
 
 if __name__ == "__main__":

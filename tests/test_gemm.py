@@ -259,3 +259,22 @@ def test_dynamic_per_token_int8_quant_roundtrip():
     assert q.dtype == jnp.int8 and s.shape == (16,)
     deq = np.asarray(q, np.int32) * np.asarray(s)[:, None]
     assert_allclose(deq, x, rtol=2e-2, atol=np.abs(x).max() / 100)
+
+
+def test_fp8_gemm_w8a16_large_m_routing(impl):
+    """M >= 512 routes through dequant-once + XLA matmul; result matches
+    the fused small-M kernel path bit-for-near (same e4m3 dequant)."""
+    rng = np.random.default_rng(9)
+    k1, = keys(21, 1)
+    a_small = np.asarray(rand(k1, (8, 256), jnp.float32, 0.2), np.float32)
+    a_big = np.tile(a_small, (80, 1))          # 640 rows
+    b = _fp8_quant_np(
+        rng.standard_normal((256, 384)).astype(np.float32) * 0.1, 0.02)
+    s = np.full((384,), 0.02, np.float32)
+    out_small = ops.fp8_gemm_w8a16(
+        jnp.asarray(a_small, jnp.bfloat16), b, jnp.asarray(s))
+    out_big = ops.fp8_gemm_w8a16(
+        jnp.asarray(a_big, jnp.bfloat16), b, jnp.asarray(s))
+    assert_allclose(np.asarray(out_big, np.float32)[:8],
+                    np.asarray(out_small, np.float32),
+                    rtol=1e-2, atol=1e-2)

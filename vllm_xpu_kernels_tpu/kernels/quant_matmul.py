@@ -209,6 +209,35 @@ def _qmm_kernel(spec, *refs):
         o_ref[:] = out.astype(o_ref.dtype)
 
 
+def fp8_dequant_pallas(b: jax.Array, out_dtype=jnp.bfloat16,
+                       block_k: int = 512, block_n: int = 1024):
+    """[K, N] e4m3 -> bf16 in one streaming pass (fast bit-trick upcast).
+
+    Prefill-shape GEMMs (large M) pay the in-K-loop upcast once per
+    M-block — ceil(M/bm) redundant VPU passes over every weight byte.
+    Materializing the bf16 weights first costs one extra HBM round trip
+    (~2x weight bytes) and lets the matmul run as a plain XLA bf16 GEMM
+    at full MXU rate; the op layer routes on M (ops/gemm.py).
+    """
+    import jax.experimental.pallas as pl
+
+    K, N = b.shape
+    bk = min(block_k, _round_up(K, 8))
+    bn = min(block_n, _round_up(N, 128))
+
+    def kernel(b_ref, o_ref):
+        o_ref[...] = fp8_upcast_f32(b_ref[...]).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(K, bk), pl.cdiv(N, bn)),
+        in_specs=[pl.BlockSpec((bk, bn), lambda i, j: (i, j))],
+        out_specs=pl.BlockSpec((bk, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((K, N), out_dtype),
+        interpret=interpret_mode(),
+    )(b)
+
+
 def int8_matmul_pallas(
     a: jax.Array,                # [M, K] int8
     b: jax.Array,                # [K, N] int8

@@ -203,13 +203,21 @@ def fp8_gemm_w8a16(
     a2 = mosaic_safe(a2) if use_pallas() else a2
     if b_grp is None:
         if use_pallas():
-            # Pallas kernel with the fast in-kernel fp8 upcast (XLA's
-            # e4m3 convert runs ~4x slower on v5e, see
-            # kernels/quant_matmul.fp8_upcast_f32), column scales + bias
-            # as an XLA-fused epilogue.
-            out = qmm.quant_matmul_pallas(
-                a2, B, a_kind="dense", b_kind="fp8",
-                out_dtype=jnp.float32)
+            if M >= 512:
+                # prefill shapes: the fused kernel re-upcasts every weight
+                # tile per M-block (ceil(M/bm) redundant VPU passes);
+                # dequantize once with the fast bit-trick and run a plain
+                # XLA bf16 GEMM at full MXU rate instead.
+                b16 = qmm.fp8_dequant_pallas(B)
+                out = jnp.dot(a2.astype(jnp.bfloat16), b16,
+                              preferred_element_type=jnp.float32)
+            else:
+                # decode shapes: Pallas kernel with the fast in-kernel fp8
+                # upcast (XLA's e4m3 convert runs ~4x slower on v5e, see
+                # kernels/quant_matmul.fp8_upcast_f32)
+                out = qmm.quant_matmul_pallas(
+                    a2, B, a_kind="dense", b_kind="fp8",
+                    out_dtype=jnp.float32)
             if b_col is not None:
                 out = out * b_col
             if bias is not None:
