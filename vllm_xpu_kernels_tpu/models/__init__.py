@@ -19,3 +19,4 @@ from vllm_xpu_kernels_tpu.models import qwen3_next  # noqa: F401
 from vllm_xpu_kernels_tpu.models import loader  # noqa: F401
 from vllm_xpu_kernels_tpu.models import precompile  # noqa: F401
 from vllm_xpu_kernels_tpu.models import spec_decode  # noqa: F401
+from vllm_xpu_kernels_tpu.models import lora  # noqa: F401

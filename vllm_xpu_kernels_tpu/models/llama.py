@@ -124,7 +124,7 @@ def _init_linear(key, fan_in, fan_out, cfg, quant_cols=True):
     return quantize_linear(w, cfg.quant, cfg.jdtype)
 
 
-def _linear(x, p, tp_axis=None, reduce_out=False):
+def _linear(x, p, tp_axis=None, reduce_out=False, lora=None):
     if "s8" in p:
         # w8a8: dynamic per-token int8 activations, native MXU int8 matmul
         q, a_s = ops.dynamic_per_token_scaled_int8_quant(x)
@@ -138,6 +138,12 @@ def _linear(x, p, tp_axis=None, reduce_out=False):
     else:
         out = jnp.dot(x, p["w"], preferred_element_type=jnp.float32
                       ).astype(x.dtype)
+    if lora is not None:
+        # multi-LoRA: per-token adapter index -> bgmv shrink/expand
+        # (reference ops csrc/xpu/lora/lora_shrink.cpp / lora_expand.cpp)
+        la, lb, idx, scale = lora
+        h = ops.bgmv_shrink(x, la, idx, scale)
+        out = ops.bgmv_expand(h, lb, out, idx, add_inputs=True)
     if reduce_out:
         out = tp_psum(out, tp_axis)
     return out
@@ -303,12 +309,21 @@ def kv_cache_tp_spec(tp_axis: str = "tp", dp_axis=None):
     return P(dp_axis, tp_axis)
 
 
+def _lora_for(lora_layer, name, lora_idx):
+    if lora_layer is None or name not in lora_layer:
+        return None
+    la = lora_layer[name]
+    return (la["a"], la["b"], lora_idx, la.get("scale", 1.0))
+
+
 def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
                      block_table, kv_lens, cu_q, max_q, max_k, tp_axis,
-                     k_scale=None, v_scale=None):
+                     k_scale=None, v_scale=None, lora_layer=None,
+                     lora_idx=None):
     t = x.shape[0]
     hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
-    qkv = _linear(x, lp["wqkv"])
+    qkv = _linear(x, lp["wqkv"],
+                  lora=_lora_for(lora_layer, "wqkv", lora_idx))
     q = qkv[:, : hq * d]
     k = qkv[:, hq * d: (hq + hkv) * d]
     v = qkv[:, (hq + hkv) * d:]
@@ -325,19 +340,22 @@ def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
         kv_layout="bhsd",
         k_descale=k_scale, v_descale=v_scale)
     out = _linear(attn.reshape(t, hq * d), lp["wo"], tp_axis,
-                  reduce_out=True)
+                  reduce_out=True,
+                  lora=_lora_for(lora_layer, "wo", lora_idx))
     return out, kc_l, vc_l
 
 
-def _mlp_block(cfg, lp, x, tp_axis):
-    gu = _linear(x, lp["wgu"])
+def _mlp_block(cfg, lp, x, tp_axis, lora_layer=None, lora_idx=None):
+    gu = _linear(x, lp["wgu"], lora=_lora_for(lora_layer, "wgu", lora_idx))
     act = ops.silu_and_mul(gu)
-    return _linear(act, lp["wd"], tp_axis, reduce_out=True)
+    return _linear(act, lp["wd"], tp_axis, reduce_out=True,
+                   lora=_lora_for(lora_layer, "wd", lora_idx))
 
 
 def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
                     block_table, kv_lens, cu_q, max_q, max_k,
-                    k_cache, v_cache, tp_axis, k_scale=None, v_scale=None):
+                    k_cache, v_cache, tp_axis, k_scale=None, v_scale=None,
+                    lora_params=None, lora_idx=None):
     """Shared prefill/decode body over packed tokens [T]."""
     x = jnp.take(params["embed"], token_ids, axis=0)
     x = tp_psum(x, None)  # embed replicated; no-op
@@ -351,13 +369,15 @@ def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
     for li, lp in enumerate(params["layers"]):
         h, residual = ops.fused_add_rms_norm(
             x, residual, lp["ln1"], cfg.rms_eps)
+        ll = (lora_params["layers"][li] if lora_params is not None
+              else None)
         attn, kc_l, vc_l = _attention_block(
             cfg, lp, h, positions, rope, k_cache[li], v_cache[li],
             slot_mapping, block_table, kv_lens, cu_q, max_q, max_k,
-            tp_axis, k_scale, v_scale)
+            tp_axis, k_scale, v_scale, ll, lora_idx)
         h2, residual = ops.fused_add_rms_norm(
             attn, residual, lp["ln2"], cfg.rms_eps)
-        x = _mlp_block(cfg, lp, h2, tp_axis)
+        x = _mlp_block(cfg, lp, h2, tp_axis, ll, lora_idx)
         k_cache[li] = kc_l
         v_cache[li] = vc_l
     x = (x.astype(jnp.float32) + residual.astype(jnp.float32)).astype(x.dtype)
@@ -385,6 +405,7 @@ def decode_step(
     max_seqlen_k: int,
     tp_axis: Optional[str] = None,
     k_scale=None, v_scale=None,
+    lora_params=None, lora_idx=None,
 ):
     """One continuous-batching decode step -> (logits [B, V], caches)."""
     b = token_ids.shape[0]
@@ -392,7 +413,7 @@ def decode_step(
     return _forward_tokens(
         cfg, params, token_ids, positions, slot_mapping, block_table,
         kv_lens, cu_q, 1, max_seqlen_k, k_cache, v_cache, tp_axis,
-        k_scale, v_scale)
+        k_scale, v_scale, lora_params, lora_idx)
 
 
 def prefill_step(
@@ -409,10 +430,12 @@ def prefill_step(
     max_seqlen_k: int,
     tp_axis: Optional[str] = None,
     k_scale=None, v_scale=None,
+    lora_params=None, lora_idx=None,
 ):
     """Chunked/whole prefill over packed sequences -> (logits [T, V],
     caches)."""
     return _forward_tokens(
         cfg, params, token_ids, positions, slot_mapping, block_table,
         kv_lens, cu_seqlens_q, max_seqlen_q, max_seqlen_k,
-        k_cache, v_cache, tp_axis, k_scale, v_scale)
+        k_cache, v_cache, tp_axis, k_scale, v_scale,
+        lora_params, lora_idx)
