@@ -278,3 +278,25 @@ def test_fp8_gemm_w8a16_large_m_routing(impl):
     assert_allclose(np.asarray(out_big, np.float32)[:8],
                     np.asarray(out_small, np.float32),
                     rtol=1e-2, atol=1e-2)
+
+
+def test_int4_gemm_w4a16_large_m_routing(impl):
+    """M >= 512 dequant-once path matches the fused-kernel small-M path
+    (asymmetric zero-points and group scales included)."""
+    rng = np.random.default_rng(13)
+    g = 32
+    codes = rng.integers(0, 16, (128, 256), dtype=np.uint8)
+    zp = rng.integers(4, 12, (128 // g, 256), dtype=np.uint8)
+    s = (rng.random((128 // g, 256)).astype(np.float32) * 0.1 + 0.02)
+    packed = jnp.asarray(pack_int4_splitk(codes, g))
+    a_small = np.asarray(rand(keys(31, 1)[0], (8, 128), jnp.float32, 0.3),
+                         np.float32)
+    a_big = np.tile(a_small, (80, 1))
+    out_s = ops.int4_gemm_w4a16(
+        jnp.asarray(a_small, jnp.bfloat16), packed, None,
+        jnp.asarray(s), jnp.asarray(zp), g)
+    out_b = ops.int4_gemm_w4a16(
+        jnp.asarray(a_big, jnp.bfloat16), packed, None,
+        jnp.asarray(s), jnp.asarray(zp), g)
+    assert_allclose(np.asarray(out_b, np.float32)[:8],
+                    np.asarray(out_s, np.float32), rtol=2e-2, atol=2e-2)

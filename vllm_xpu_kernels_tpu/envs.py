@@ -41,6 +41,11 @@ VXK_TEST_TPU = _register(
     "VXK_TEST_TPU", _bool, False,
     "Run the test suite against the real TPU instead of the virtual "
     "8-device CPU mesh.")
+VXK_DECODE_PAGES_PER_STEP = _register(
+    "VXK_DECODE_PAGES_PER_STEP", int, 0,
+    "Override KV pages per decode-kernel grid step (0 = auto VMEM-capped; "
+    "the tuning knob for kernels/flash_attention.paged_decode).")
+
 VXK_DEBUG_LOG = _register(
     "VXK_DEBUG_LOG", _bool, False,
     "Verbose engine logging (analogue of XPUMEM_DEBUG_LOG_METADATA).")

@@ -220,8 +220,10 @@ def paged_decode(
     # pages per grid step: fat steps amortize per-step pipeline cost; cap
     # VMEM at ~2 MB of pages per buffered stage.
     page_bytes = hkv * bs * (d + dv) * k_cache.dtype.itemsize
-    pp = pages_per_step or max(
+    from vllm_xpu_kernels_tpu.envs import VXK_DECODE_PAGES_PER_STEP
+    pp = pages_per_step or VXK_DECODE_PAGES_PER_STEP() or max(
         1, min(n_tiles, 2 * 1024 * 1024 // max(page_bytes, 1), 4))
+    pp = min(pp, n_tiles)
     n_steps = _cdiv(n_tiles, pp)
 
     # layout: [B, Hkv, G, D]; the q block picks the kv-head's G q-heads

@@ -238,6 +238,63 @@ def fp8_dequant_pallas(b: jax.Array, out_dtype=jnp.bfloat16,
     )(b)
 
 
+def packed_dequant_pallas(b_packed, scales, group_size, kind,
+                          zp=None, out_dtype=jnp.bfloat16,
+                          block_n: int = 1024):
+    """Split-K packed int4/fp4 [K/2, N] + group scales [K/g, N] -> bf16
+    [K, N] in one streaming pass (the prefill-shape counterpart of
+    fp8_dequant_pallas: large-M GEMMs dequantize once instead of
+    re-decoding every weight tile per M-block).
+
+    kind: 'int4sk' (codes - zp) | 'fp4sk' (e2m1 x scale).  zp: float
+    constant or [K/g, N] array.
+    """
+    import jax.experimental.pallas as pl
+
+    K = b_packed.shape[0] * 2
+    N = b_packed.shape[1]
+    g = group_size
+    assert K % g == 0 and g % 2 == 0 and (g // 2) % 8 == 0, (K, g)
+    bn = min(block_n, _round_up(N, 128))
+    has_zp_arr = isinstance(zp, jax.Array)
+    spec = dict(kind=kind, has_zp_arr=has_zp_arr,
+                zp_const=None if has_zp_arr or zp is None else float(zp))
+
+    def kernel(*refs):
+        it = iter(refs)
+        b_ref = next(it)
+        s_ref = next(it)
+        z_ref = next(it) if spec["has_zp_arr"] else None
+        o_ref = next(it)
+        codes = unpack_int4_splitk(b_ref[...])
+        if spec["kind"] == "fp4sk":
+            x = e2m1_decode_f32(codes)
+        else:
+            x = codes.astype(jnp.int32).astype(jnp.float32)
+        if z_ref is not None:
+            x = x - z_ref[0].astype(jnp.int32).astype(jnp.float32)
+        elif spec["zp_const"] is not None:
+            x = x - spec["zp_const"]
+        o_ref[...] = (x * s_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+    in_specs = [
+        pl.BlockSpec((g // 2, bn), lambda i, j: (i, j)),
+        pl.BlockSpec((1, 1, bn), lambda i, j: (i, 0, j)),
+    ]
+    operands = [b_packed, scales.reshape(K // g, 1, N)]
+    if has_zp_arr:
+        in_specs.append(pl.BlockSpec((1, 1, bn), lambda i, j: (i, 0, j)))
+        operands.append(zp.reshape(K // g, 1, N))
+    return pl.pallas_call(
+        kernel,
+        grid=(K // g, pl.cdiv(N, bn)),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((g, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((K, N), out_dtype),
+        interpret=interpret_mode(),
+    )(*operands)
+
+
 def int8_matmul_pallas(
     a: jax.Array,                # [M, K] int8
     b: jax.Array,                # [K, N] int8

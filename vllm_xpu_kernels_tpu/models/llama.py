@@ -155,6 +155,12 @@ def _mx_linear(x, packed, scales):
 
     g = packed.shape[0] * 2 // scales.shape[0]
     if use_pallas():
+        if x.shape[0] >= 512:
+            # prefill shapes: e2m1-decode the weights once, XLA bf16 GEMM
+            b16 = qmm.packed_dequant_pallas(packed, scales, g, "fp4sk")
+            return jnp.dot(x.astype(jnp.bfloat16), b16,
+                           preferred_element_type=jnp.float32
+                           ).astype(x.dtype)
         return qmm.quant_matmul_pallas(
             x, packed, a_kind="dense", b_kind="fp4sk",
             b_scale=scales, b_group_k=g, out_dtype=x.dtype)

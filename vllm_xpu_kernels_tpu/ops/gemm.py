@@ -322,7 +322,19 @@ def int4_gemm_w4a16(
     if g_idx is not None:
         a2 = jnp.take(a2, g_idx, axis=1)
     out_dtype = A.dtype
+    M = a2.shape[0]
     if use_pallas():
+        if M >= 512:
+            # prefill shapes: dequantize once, plain XLA bf16 GEMM (the
+            # fused kernel re-decodes every tile per M-block)
+            b16 = qmm.packed_dequant_pallas(
+                B, B_scale.astype(jnp.float32), group_size, "int4sk",
+                zp=(8.0 if B_zp is None else B_zp))
+            out = jnp.dot(mosaic_safe(a2).astype(jnp.bfloat16), b16,
+                          preferred_element_type=jnp.float32)
+            if bias is not None:
+                out = out + bias.astype(jnp.float32)
+            return _unflatten(out.astype(out_dtype), lead)
         out = qmm.quant_matmul_pallas(
             mosaic_safe(a2), B, a_kind="dense", b_kind="int4sk",
             b_scale=B_scale.astype(jnp.float32), b_group_k=group_size,
