@@ -141,3 +141,84 @@ def test_sharded_index(tmp_path):
         np.asarray(params["layers"][0]["wqkv"]["w"], np.float32),
         rtol=1e-2, atol=1e-2)
     shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+@pytest.mark.parametrize("variant", scoped(
+    ["llama", "qwen2", "qwen3"], ci=["qwen2", "qwen3"], mini=["qwen3"]))
+def test_hf_transformers_golden(tmp_path, variant):
+    """External golden: our saved checkpoint loaded by HF transformers
+    (eager CPU) produces the same prefill logits as our engine — an
+    independent implementation validating rope / rms-norm / qkv-bias
+    (Qwen2) / per-head qk-norm (Qwen3) end-to-end."""
+    torch = pytest.importorskip("torch")
+    tfm = pytest.importorskip("transformers")
+
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _tiny_cfg("none"), dtype="float32",
+        qkv_bias=variant == "qwen2", qk_norm=variant == "qwen3")
+    params = init_params(cfg, jax.random.PRNGKey(4))
+    save_llama_hf(params, cfg, str(tmp_path))
+
+    model, info = tfm.AutoModelForCausalLM.from_pretrained(
+        str(tmp_path), torch_dtype=torch.float32,
+        attn_implementation="eager", output_loading_info=True)
+    assert not info["missing_keys"], info["missing_keys"]
+    rng = np.random.default_rng(5)
+    T = 12
+    toks = rng.integers(0, cfg.vocab_size, (1, T))
+    with torch.no_grad():
+        want = model(torch.tensor(toks)).logits[0].numpy()
+
+    mgr = BlockManager(16, cfg.block_size)
+    kc, vc = init_kv_cache(cfg, 16)
+    from vllm_xpu_kernels_tpu.models.runtime import build_prefill_batch
+    (seq_ids, token_ids, positions, cu_q, slots, tbl, kv_lens,
+     max_q, max_k) = build_prefill_batch(
+        mgr, {0: toks[0].astype(np.int64)})
+    from vllm_xpu_kernels_tpu.models import prefill_step
+    logits, _, _ = prefill_step(
+        cfg, params, jnp.asarray(token_ids), jnp.asarray(positions),
+        jnp.asarray(cu_q), jnp.asarray(slots), jnp.asarray(tbl),
+        jnp.asarray(kv_lens), kc, vc,
+        max_seqlen_q=16, max_seqlen_k=16)
+    got = np.asarray(logits, np.float32)[:T]
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("variant", ["qwen2", "qwen3"])
+def test_qwen_save_load_roundtrip(tmp_path, variant):
+    """Bias / qk-norm tensors survive the HF round-trip and change
+    logits (i.e. they are actually applied in the forward)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_tiny_cfg("none"),
+                              qkv_bias=variant == "qwen2",
+                              qk_norm=variant == "qwen3")
+    params = init_params(cfg, jax.random.PRNGKey(6))
+    if variant == "qwen3":
+        # non-trivial norm weights so zeroing them is observable
+        for lp in params["layers"]:
+            lp["qnorm"] = lp["qnorm"] * 1.5
+            lp["knorm"] = lp["knorm"] * 0.5
+    save_llama_hf(params, cfg, str(tmp_path))
+    cfg2 = read_hf_config(str(tmp_path))
+    assert cfg2.qkv_bias == cfg.qkv_bias
+    assert cfg2.qk_norm == cfg.qk_norm
+    cfg2 = dataclasses.replace(cfg2, block_size=cfg.block_size)
+    loaded = load_llama_params(cfg2, str(tmp_path))
+    np.testing.assert_allclose(_decode_logits(cfg2, loaded),
+                               _decode_logits(cfg, params),
+                               rtol=1e-5, atol=1e-5)
+
+    # ablate the variant-specific params -> logits must change
+    import copy
+    ablated = copy.deepcopy(loaded)
+    for lp in ablated["layers"]:
+        if variant == "qwen2":
+            lp["wqkv"].pop("b")
+        else:
+            lp.pop("qnorm"), lp.pop("knorm")
+    assert not np.allclose(_decode_logits(cfg2, loaded),
+                           _decode_logits(cfg2, ablated))

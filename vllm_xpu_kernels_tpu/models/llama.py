@@ -46,6 +46,8 @@ class LlamaConfig:
     dtype: str = "bfloat16"
     quant: str = "none"   # none | fp8 | int8 | mxfp4 (weight-only) | w8a8
     block_size: int = 128        # KV page size (TPU tiling-friendly)
+    qkv_bias: bool = False       # Qwen2-style bias on the qkv projection
+    qk_norm: bool = False        # Qwen3-style per-head RMSNorm on q/k
 
     @property
     def jdtype(self):
@@ -125,6 +127,9 @@ def _init_linear(key, fan_in, fan_out, cfg, quant_cols=True):
 
 
 def _linear(x, p, tp_axis=None, reduce_out=False, lora=None):
+    """p: {'w', quant scales..., optional 'b' bias} — bias stays bf16 and
+    is added after the (possibly quantized) GEMM, matching the reference's
+    oneDNN bias epilogues (csrc/xpu/onednn/onednn_matmul.cpp)."""
     if "s8" in p:
         # w8a8: dynamic per-token int8 activations, native MXU int8 matmul
         q, a_s = ops.dynamic_per_token_scaled_int8_quant(x)
@@ -138,6 +143,9 @@ def _linear(x, p, tp_axis=None, reduce_out=False, lora=None):
     else:
         out = jnp.dot(x, p["w"], preferred_element_type=jnp.float32
                       ).astype(x.dtype)
+    if "b" in p:
+        out = (out.astype(jnp.float32)
+               + p["b"].astype(jnp.float32)).astype(out.dtype)
     if lora is not None:
         # multi-LoRA: per-token adapter index -> bgmv shrink/expand
         # (reference ops csrc/xpu/lora/lora_shrink.cpp / lora_expand.cpp)
@@ -189,7 +197,7 @@ def init_params(cfg: LlamaConfig, key=None):
     # layer instead of 7 — fewer kernel launches and wider N tiles.
     layers = []
     for li in range(cfg.num_layers):
-        layers.append({
+        lp = {
             "ln1": jnp.ones((e,), cfg.jdtype),
             "ln2": jnp.ones((e,), cfg.jdtype),
             "wqkv": _init_linear(keys[li * n_lin + 0], e,
@@ -197,7 +205,17 @@ def init_params(cfg: LlamaConfig, key=None):
             "wo": _init_linear(keys[li * n_lin + 3], hq * d, e, cfg),
             "wgu": _init_linear(keys[li * n_lin + 4], e, 2 * i, cfg),
             "wd": _init_linear(keys[li * n_lin + 6], i, e, cfg),
-        })
+        }
+        if cfg.qkv_bias:
+            # Qwen2: bias on q/k/v only (o/gate/up/down are bias-free)
+            lp["wqkv"]["b"] = (jax.random.normal(
+                keys[li * n_lin + 1], ((hq + 2 * hkv) * d,), jnp.float32)
+                * 0.02).astype(cfg.jdtype)
+        if cfg.qk_norm:
+            # Qwen3: per-head RMSNorm weights on q and k (pre-RoPE)
+            lp["qnorm"] = jnp.ones((d,), cfg.jdtype)
+            lp["knorm"] = jnp.ones((d,), cfg.jdtype)
+        layers.append(lp)
     embed = (jax.random.normal(keys[-2], (cfg.vocab_size, e), jnp.float32)
              * 0.02).astype(cfg.jdtype)
     params = {
@@ -251,6 +269,11 @@ def param_tp_specs(cfg: LlamaConfig, tp_axis: str = "tp",
         "wgu": dict(col),
         "wd": dict(row),
     }
+    if cfg.qkv_bias:
+        layer["wqkv"]["b"] = P(tp_axis)   # column-parallel bias
+    if cfg.qk_norm:
+        layer["qnorm"] = P()
+        layer["knorm"] = P()
     tree = {
         "layers": [dict(layer) for _ in range(cfg.num_layers)],
         "embed": P(),
@@ -293,7 +316,12 @@ def params_for_tp(params, cfg: LlamaConfig, tp: int):
         out = {"w": p["w"][:, perm]}
         for sk in ("s", "s8"):
             if sk in p:
-                out[sk] = p[sk][perm]
+                # 1-D per-channel scales [N] or 2-D group scales [K/g, N]:
+                # the permutation is over output columns either way
+                out[sk] = (p[sk][:, perm] if p[sk].ndim == 2
+                           else p[sk][perm])
+        if "b" in p:
+            out["b"] = p["b"][perm]
         return out
 
     new_layers = []
@@ -330,10 +358,20 @@ def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
     hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
     qkv = _linear(x, lp["wqkv"],
                   lora=_lora_for(lora_layer, "wqkv", lora_idx))
-    q = qkv[:, : hq * d]
-    k = qkv[:, hq * d: (hq + hkv) * d]
-    v = qkv[:, (hq + hkv) * d:]
-    q, k = ops.rotary_embedding(positions, q, k, d, rope, is_neox=True)
+    if "qnorm" in lp:
+        # Qwen3-style per-head QK RMSNorm fused with RoPE on packed qkv
+        # (reference op csrc/fused_qknorm_rope.cpp:20-535)
+        qkv = ops.fused_qk_norm_rope(
+            qkv, hq, hkv, hkv, d, cfg.rms_eps, lp["qnorm"], lp["knorm"],
+            rope, True, positions)
+        q = qkv[:, : hq * d]
+        k = qkv[:, hq * d: (hq + hkv) * d]
+        v = qkv[:, (hq + hkv) * d:]
+    else:
+        q = qkv[:, : hq * d]
+        k = qkv[:, hq * d: (hq + hkv) * d]
+        v = qkv[:, (hq + hkv) * d:]
+        q, k = ops.rotary_embedding(positions, q, k, d, rope, is_neox=True)
     fp8kv = kc_l.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
     kc_l, vc_l = ops.reshape_and_cache_tpu(
         k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l, vc_l,

@@ -116,13 +116,17 @@ class _ShardedCheckpoint:
 
 
 def read_hf_config(path: str):
-    """config.json -> LlamaConfig for llama-family architectures."""
+    """config.json -> LlamaConfig for llama-family architectures
+    (Llama/Mistral, Qwen2 = +qkv bias, Qwen3 dense = +per-head qk-norm)."""
     from vllm_xpu_kernels_tpu.models.llama import LlamaConfig
 
     with open(os.path.join(path, "config.json")) as f:
         c = json.load(f)
     archs = c.get("architectures", ["LlamaForCausalLM"])
-    if not any("Llama" in a or "Mistral" in a for a in archs):
+    qwen2 = any("Qwen2" in a for a in archs)
+    qwen3 = any("Qwen3" in a for a in archs)
+    if not any("Llama" in a or "Mistral" in a for a in archs) \
+            and not (qwen2 or qwen3):
         raise NotImplementedError(
             f"read_hf_config handles llama-family checkpoints; got {archs}")
     e = c["hidden_size"]
@@ -139,6 +143,8 @@ def read_hf_config(path: str):
         rms_eps=float(c.get("rms_norm_eps", 1e-5)),
         max_position=min(int(c.get("max_position_embeddings", 8192)),
                          131072),
+        qkv_bias=qwen2 or bool(c.get("attention_bias", False)),
+        qk_norm=qwen3,
     )
 
 
@@ -172,7 +178,7 @@ def load_llama_params(
         p = f"model.layers.{li}."
         if progress:
             progress(p.rstrip("."))
-        layers.append({
+        lp = {
             "ln1": put(ck.get(p + "input_layernorm.weight")
                        .astype(cfg.dtype)),
             "ln2": put(ck.get(p + "post_attention_layernorm.weight")
@@ -184,7 +190,17 @@ def load_llama_params(
             "wgu": linear(p + "mlp.gate_proj.weight",
                           p + "mlp.up_proj.weight"),
             "wd": linear(p + "mlp.down_proj.weight"),
-        })
+        }
+        if cfg.qkv_bias and ck.has(p + "self_attn.q_proj.bias"):
+            lp["wqkv"]["b"] = put(np.concatenate(
+                [ck.get(p + f"self_attn.{n}_proj.bias")
+                 for n in ("q", "k", "v")]).astype(cfg.dtype))
+        if cfg.qk_norm:
+            lp["qnorm"] = put(ck.get(p + "self_attn.q_norm.weight")
+                              .astype(cfg.dtype))
+            lp["knorm"] = put(ck.get(p + "self_attn.k_norm.weight")
+                              .astype(cfg.dtype))
+        layers.append(lp)
     params = {
         "layers": layers,
         "embed": put(ck.get("model.embed_tokens.weight").astype(cfg.dtype)),
@@ -240,6 +256,17 @@ def save_llama_hf(params, cfg, path: str):
         out[p + "self_attn.k_proj.weight"] = (
             qkv[:, hq * d: (hq + hkv) * d].T.copy())
         out[p + "self_attn.v_proj.weight"] = qkv[:, (hq + hkv) * d:].T.copy()
+        if "b" in lp["wqkv"]:
+            b = np.asarray(lp["wqkv"]["b"], np.float32)
+            out[p + "self_attn.q_proj.bias"] = b[: hq * d].copy()
+            out[p + "self_attn.k_proj.bias"] = (
+                b[hq * d: (hq + hkv) * d].copy())
+            out[p + "self_attn.v_proj.bias"] = b[(hq + hkv) * d:].copy()
+        if "qnorm" in lp:
+            out[p + "self_attn.q_norm.weight"] = np.asarray(
+                lp["qnorm"], np.float32)
+            out[p + "self_attn.k_norm.weight"] = np.asarray(
+                lp["knorm"], np.float32)
         out[p + "self_attn.o_proj.weight"] = deq(lp["wo"]).T.copy()
         gu = deq(lp["wgu"])
         out[p + "mlp.gate_proj.weight"] = gu[:, :i].T.copy()
@@ -247,8 +274,16 @@ def save_llama_hf(params, cfg, path: str):
         out[p + "mlp.down_proj.weight"] = deq(lp["wd"]).T.copy()
     os.makedirs(path, exist_ok=True)
     save_file(out, os.path.join(path, "model.safetensors"))
+    arch, mtype = "LlamaForCausalLM", "llama"
+    if cfg.qk_norm:
+        arch, mtype = "Qwen3ForCausalLM", "qwen3"
+    elif cfg.qkv_bias:
+        arch, mtype = "Qwen2ForCausalLM", "qwen2"
     cfgj = {
-        "architectures": ["LlamaForCausalLM"],
+        "architectures": [arch],
+        "model_type": mtype,
+        "tie_word_embeddings": "lm_head" not in params,
+        "attention_bias": cfg.qkv_bias,
         "hidden_size": e,
         "num_hidden_layers": cfg.num_layers,
         "num_attention_heads": hq,
