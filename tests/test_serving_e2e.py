@@ -245,3 +245,77 @@ def test_mixtral_w8a8_decode():
         outs[quant] = np.asarray(logits, np.float32)
     assert np.isfinite(outs["w8a8"]).all()
     assert_allclose(outs["w8a8"], outs["none"], rtol=2e-1, atol=2e-1)
+
+
+def test_deepseek_sparse_indexer_decode():
+    """DeepSeek-V3.2 DSA path end-to-end: indexer K quant+cache, paged
+    fp8 MQA logits, top-k token selection, gathered sparse attention.
+    With index_topk >= context the selected set is the full causal
+    context, so sparse logits must match the dense decode step; with a
+    small index_topk the step still produces finite logits."""
+    import dataclasses
+
+    from vllm_xpu_kernels_tpu.models import deepseek as DS
+
+    kw = dict(
+        hidden_size=128, num_layers=2, num_q_heads=4, num_kv_heads=4,
+        qk_nope_dim=32, qk_rope_dim=16, v_head_dim=32, kv_lora_rank=64,
+        vocab_size=128, max_position=64, block_size=16,
+        num_experts=16, num_shared_experts=1, top_k=4, n_group=4,
+        topk_group=2, moe_intermediate=64, head_dim=48,
+        intermediate_size=64, dtype="float32")
+    cfg_s = DS.DeepSeekConfig(index_topk=32, index_n_heads=4,
+                              index_head_dim=32, **kw)
+    cfg_d = DS.DeepSeekConfig(**kw)
+    params = DS.init_params(cfg_s, jax.random.PRNGKey(7))
+
+    b = 2
+    tok = jnp.asarray([3, 7], jnp.int32)
+    kv_lens = jnp.full((b,), 9, jnp.int32)
+    positions = kv_lens - 1
+    tbl = jnp.asarray(np.arange(b * 2).reshape(b, 2), jnp.int32)
+    slots = (tbl[:, 0] * 16 + 8).astype(jnp.int32)
+
+    kc, vc = DS.init_kv_cache(cfg_s, 16)
+    # seed the paged KV cache with context so sparse selection matters
+    rng = jax.random.PRNGKey(8)
+    kc = [jax.random.normal(rng, c.shape, c.dtype) * 0.3 for c in kc]
+    vc = [jax.random.normal(rng, c.shape, c.dtype) * 0.3 for c in vc]
+    ic = DS.init_indexer_cache(cfg_s, 16)
+    # populate indexer cache for the existing context tokens (positions
+    # 0..7 of each seq live in block tbl[:,0])
+    for li in range(cfg_s.num_layers):
+        ctx_slots = jnp.concatenate(
+            [tbl[i, 0] * 16 + jnp.arange(8) for i in range(b)])
+        k_ctx = jax.random.normal(
+            jax.random.PRNGKey(20 + li), (b * 8, cfg_s.index_head_dim),
+            jnp.float32)
+        ic[li] = tuple(DS.ops.indexer_k_quant_and_cache(
+            k_ctx, ic[li][0], ic[li][1], ctx_slots,
+            quant_block_size=cfg_s.index_head_dim))
+
+    dense_logits, kc_d, vc_d = DS.decode_step(
+        cfg_d, params, tok, positions, slots, tbl, kv_lens,
+        [jnp.array(c) for c in kc], [jnp.array(c) for c in vc],
+        max_seqlen_k=32)
+    sparse_logits, kc_s, vc_s, ic2 = DS.decode_step(
+        cfg_s, params, tok, positions, slots, tbl, kv_lens, kc, vc,
+        max_seqlen_k=32, idx_cache=ic)
+    assert bool(jnp.isfinite(sparse_logits).all())
+    # topk=32 >= context(9): the full causal window is selected
+    np.testing.assert_allclose(np.asarray(sparse_logits),
+                               np.asarray(dense_logits),
+                               rtol=2e-4, atol=2e-4)
+    # indexer cache was updated at this step's slots
+    for li in range(cfg_s.num_layers):
+        assert not np.allclose(np.asarray(ic2[li][1]),
+                               np.asarray(ic[li][1]))
+
+    # small top-k: runs, finite, and actually restricts the context
+    cfg_t = dataclasses.replace(cfg_s, index_topk=4)
+    tiny_logits, _, _, _ = DS.decode_step(
+        cfg_t, params, tok, positions, slots, tbl, kv_lens, kc, vc,
+        max_seqlen_k=32, idx_cache=ic)
+    assert bool(jnp.isfinite(tiny_logits).all())
+    assert not np.allclose(np.asarray(tiny_logits),
+                           np.asarray(dense_logits))

@@ -42,6 +42,14 @@ class DeepSeekConfig(L.LlamaConfig):
     topk_group: int = 3
     moe_intermediate: int = 1408
     routed_scaling_factor: float = 1.0
+    # DeepSeek-V3.2 sparse attention (DSA) indexer: 0 = dense attention;
+    # >0 = decode attends only to the index_topk highest-scoring KV tokens
+    # selected by the fp8 MQA indexer (reference op family §2.7:
+    # csrc/xpu/mqa_logits/, csrc/topk_per_row.cpp, indexer cache ops
+    # csrc/cache.cpp:529-753).
+    index_topk: int = 0
+    index_n_heads: int = 8
+    index_head_dim: int = 64
 
     @property
     def qk_head_dim(self):
@@ -60,7 +68,7 @@ def init_params(cfg: DeepSeekConfig, key=None):
         return (jax.random.normal(k, (fi, fo), jnp.float32)
                 * (2.0 / (fi + fo)) ** 0.5).astype(cfg.jdtype)
 
-    keys = iter(jax.random.split(key, cfg.num_layers * 12 + 2))
+    keys = iter(jax.random.split(key, cfg.num_layers * 15 + 2))
     layers = []
     for _ in range(cfg.num_layers):
         lp = {
@@ -83,6 +91,12 @@ def init_params(cfg: DeepSeekConfig, key=None):
                               2 * mi * cfg.num_shared_experts),
             "w2_shared": lin(next(keys), mi * cfg.num_shared_experts, e),
         }
+        if cfg.index_topk > 0:
+            hi, di = cfg.index_n_heads, cfg.index_head_dim
+            lp["wq_i"] = lin(next(keys), e, hi * di)
+            lp["wk_i"] = lin(next(keys), e, di)
+            # per-query-head indexer weights projection (f32 gating)
+            lp["w_iw"] = lin(next(keys), e, hi).astype(jnp.float32)
         layers.append(lp)
     embed = (jax.random.normal(next(keys), (cfg.vocab_size, e), jnp.float32)
              * 0.02).astype(cfg.jdtype)
@@ -105,8 +119,69 @@ def init_kv_cache(cfg: DeepSeekConfig, num_blocks: int):
     return ks, vs
 
 
+def init_indexer_cache(cfg: DeepSeekConfig, num_blocks: int):
+    """Per-layer paged indexer-K caches: the structured
+    (fp8 values [nb, bs, index_head_dim], f32 per-token scales [nb, bs, 1])
+    pair that ops.indexer_k_quant_and_cache maintains."""
+    vals = [jnp.zeros((num_blocks, cfg.block_size, cfg.index_head_dim),
+                      jnp.float8_e4m3fn) for _ in range(cfg.num_layers)]
+    scales = [jnp.zeros((num_blocks, cfg.block_size, 1), jnp.float32)
+              for _ in range(cfg.num_layers)]
+    return list(zip(vals, scales))
+
+
+def _indexer_select(cfg, lp, x, ic_l, slot_mapping, block_table, kv_lens):
+    """DSA top-k selection for one decode step.
+
+    Quantize+cache this step's indexer K, score the whole paged context
+    with the fp8 MQA-logits op, and return (topk token indices [B, K],
+    updated indexer cache).  End-to-end wiring of the reference's
+    DeepSeek-V3.2 indexer op family (fp8_paged_mqa_logits
+    csrc/xpu/mqa_logits/, top_k_per_row_decode csrc/topk_per_row.cpp,
+    indexer_k_quant_and_cache csrc/cache.cpp:529-614)."""
+    b = x.shape[0]
+    hi, di = cfg.index_n_heads, cfg.index_head_dim
+    vals, scales = ic_l
+    k_i = x @ lp["wk_i"].astype(x.dtype)
+    vals, scales = ops.indexer_k_quant_and_cache(
+        k_i, vals, scales, slot_mapping, quant_block_size=di)
+    q_i = (x @ lp["wq_i"].astype(x.dtype)).reshape(b, 1, hi, di)
+    w_i = (x.astype(jnp.float32) @ lp["w_iw"]) * (hi ** -0.5)
+    max_model_len = block_table.shape[1] * cfg.block_size
+    logits = ops.fp8_paged_mqa_logits(
+        q_i, (vals, scales), w_i, kv_lens, block_table, max_model_len)
+    topk_idx = ops.top_k_per_row_decode(
+        logits, 1, kv_lens, cfg.index_topk)             # [B, K], -1 padded
+    return topk_idx, (vals, scales)
+
+
+def _sparse_gathered_attention(cfg, q, kc_l, vc_l, block_table, topk_idx):
+    """Decode attention over only the indexer-selected KV tokens: gather
+    the [B, K] selected slots from the paged cache and run a dense
+    softmax over K — the sparse-decode analogue of the reference's
+    gather_and_maybe_dequant_cache + attention composition."""
+    b = q.shape[0]
+    bs = cfg.block_size
+    safe = jnp.maximum(topk_idx, 0)
+    blk = jnp.take_along_axis(
+        block_table.astype(jnp.int32), safe // bs, axis=1)  # [B, K]
+    off = safe % bs
+    # cache layout [nb, H, bs, d] -> k_sel/v_sel [B, K, H, d]
+    k_sel = kc_l[blk, :, off, :].astype(jnp.float32)
+    v_sel = vc_l[blk, :, off, :].astype(jnp.float32)
+    scale = cfg.qk_head_dim ** -0.5
+    scores = jnp.einsum("bhd,bkhd->bhk", q.astype(jnp.float32) * scale,
+                        k_sel, preferred_element_type=jnp.float32)
+    scores = jnp.where((topk_idx >= 0)[:, None, :], scores, float("-inf"))
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhk,bkhd->bhd", p, v_sel,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
 def _mla_attention(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
-                   block_table, kv_lens, cu_q, max_q, max_k):
+                   block_table, kv_lens, cu_q, max_q, max_k,
+                   ic_l=None):
     t = x.shape[0]
     h, dqk, dv = cfg.num_q_heads, cfg.qk_head_dim, cfg.v_head_dim
     rnope, rrope = cfg.qk_nope_dim, cfg.qk_rope_dim
@@ -127,12 +202,20 @@ def _mla_attention(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
         -1)
     kc_l, vc_l = ops.reshape_and_cache_tpu(
         k, v, kc_l, vc_l, slot_mapping)
-    attn = ops.flash_attn_varlen_func(
-        q, kc_l, vc_l, max_q, cu_q, max_k,
-        seqused_k=kv_lens, block_table=block_table, causal=True,
-        kv_layout="bhsd", softmax_scale=dqk ** -0.5)
+    if ic_l is not None:
+        # DSA sparse decode: indexer top-k selection, then attention over
+        # only the selected tokens
+        topk_idx, ic_l = _indexer_select(
+            cfg, lp, x, ic_l, slot_mapping, block_table, kv_lens)
+        attn = _sparse_gathered_attention(
+            cfg, q, kc_l, vc_l, block_table, topk_idx)
+    else:
+        attn = ops.flash_attn_varlen_func(
+            q, kc_l, vc_l, max_q, cu_q, max_k,
+            seqused_k=kv_lens, block_table=block_table, causal=True,
+            kv_layout="bhsd", softmax_scale=dqk ** -0.5)
     out = attn.reshape(t, h * dv) @ lp["wo"].astype(x.dtype)
-    return out.astype(x.dtype), kc_l, vc_l
+    return out.astype(x.dtype), kc_l, vc_l, ic_l
 
 
 def _moe_mlp(cfg, lp, x):
@@ -151,25 +234,37 @@ def _moe_mlp(cfg, lp, x):
 
 def decode_step(cfg: DeepSeekConfig, params, token_ids, positions,
                 slot_mapping, block_table, kv_lens, k_cache, v_cache,
-                max_seqlen_k: int):
+                max_seqlen_k: int, idx_cache=None):
+    """One decode step.  With ``cfg.index_topk > 0`` pass ``idx_cache``
+    (from init_indexer_cache) to run DSA sparse attention; returns
+    (logits, k_cache, v_cache[, idx_cache])."""
+    sparse = cfg.index_topk > 0
+    assert not sparse or idx_cache is not None, \
+        "index_topk > 0 requires idx_cache (init_indexer_cache)"
     b = token_ids.shape[0]
     cu_q = jnp.arange(b + 1, dtype=jnp.int32)
     x = jnp.take(params["embed"], token_ids, axis=0)
     rope = params["rope"]
     residual = jnp.zeros_like(x)
     k_cache, v_cache = list(k_cache), list(v_cache)
+    idx_cache = list(idx_cache) if sparse else None
     for li, lp in enumerate(params["layers"]):
         h, residual = ops.fused_add_rms_norm(
             x, residual, lp["ln1"], cfg.rms_eps)
-        attn, kc_l, vc_l = _mla_attention(
+        attn, kc_l, vc_l, ic_l = _mla_attention(
             cfg, lp, h, positions, rope, k_cache[li], v_cache[li],
-            slot_mapping, block_table, kv_lens, cu_q, 1, max_seqlen_k)
+            slot_mapping, block_table, kv_lens, cu_q, 1, max_seqlen_k,
+            ic_l=idx_cache[li] if sparse else None)
         h2, residual = ops.fused_add_rms_norm(
             attn, residual, lp["ln2"], cfg.rms_eps)
         x = _moe_mlp(cfg, lp, h2)
         k_cache[li], v_cache[li] = kc_l, vc_l
+        if sparse:
+            idx_cache[li] = ic_l
     x = (x.astype(jnp.float32) + residual.astype(jnp.float32)).astype(x.dtype)
     x = ops.rms_norm(x, params["final_ln"], cfg.rms_eps)
     logits = jnp.dot(x, params["embed"].T,
                      preferred_element_type=jnp.float32)
+    if sparse:
+        return logits, k_cache, v_cache, idx_cache
     return logits, k_cache, v_cache
