@@ -319,3 +319,50 @@ def test_deepseek_sparse_indexer_decode():
     assert bool(jnp.isfinite(tiny_logits).all())
     assert not np.allclose(np.asarray(tiny_logits),
                            np.asarray(dense_logits))
+
+
+def test_chunked_prefill_matches_whole_prefill():
+    """Chunked prefill (prompt fed in several chunks against the paged
+    cache) and a mixed chunk+fresh-prompt batch reproduce whole-prefill
+    last-token logits (reference mixed-batch routing,
+    csrc/flash_attn/flash_api.cpp:206-322)."""
+    from vllm_xpu_kernels_tpu.models.runtime import (
+        build_chunked_prefill_batch)
+
+    params = init_params(CFG, jax.random.PRNGKey(2))
+    rng = np.random.default_rng(3)
+    pa = rng.integers(0, CFG.vocab_size, 27).astype(np.int64)
+    pb = rng.integers(0, CFG.vocab_size, 11).astype(np.int64)
+
+    def run_chunks(schedule):
+        """schedule: list of {seq_id: chunk}; returns last-token logits of
+        the final chunk per seq (dict)."""
+        mgr = BlockManager(64, CFG.block_size)
+        kc, vc = init_kv_cache(CFG, 64)
+        out = {}
+        for chunks in schedule:
+            (seq_ids, token_ids, positions, cu_q, slots, tbl, kv_lens,
+             max_q, max_k) = build_chunked_prefill_batch(mgr, chunks)
+            max_q = -(-max_q // 8) * 8
+            logits, kc, vc = prefill_step(
+                CFG, params, jnp.asarray(token_ids), jnp.asarray(positions),
+                jnp.asarray(cu_q), jnp.asarray(slots), jnp.asarray(tbl),
+                jnp.asarray(kv_lens), kc, vc,
+                max_seqlen_q=max_q, max_seqlen_k=-(-int(max_k) // 16) * 16)
+            lg = np.asarray(logits, np.float32)
+            ends = np.asarray(cu_q[1:]) - 1
+            for i, sid in enumerate(seq_ids):
+                out[sid] = lg[ends[i]]
+        return out
+
+    golden = run_chunks([{0: pa, 1: pb}])
+    # seq 0 chunked [10, 9, 8]; the final chunk arrives together with the
+    # whole of seq 1 (mixed batch: continuation + fresh prompt)
+    chunked = run_chunks([{0: pa[:10]}, {0: pa[10:19]},
+                          {0: pa[19:], 1: pb}])
+    for sid in (0, 1):
+        assert_allclose(chunked[sid], golden[sid], rtol=2e-2, atol=2e-2)
+
+    # 1-token chunk of a running sequence == decode row in a prefill batch
+    one_tok = run_chunks([{0: pa[:26]}, {0: pa[26:]}])
+    assert_allclose(one_tok[0], golden[0], rtol=2e-2, atol=2e-2)

@@ -43,6 +43,16 @@ class BlockManager:
             self.tables[seq_id].append(self.free.pop())
         self.lens[seq_id] = ln + 1
 
+    def extend(self, seq_id: int, n_tokens: int):
+        """Grow a known sequence by ``n_tokens`` (chunked prefill)."""
+        ln = self.lens[seq_id]
+        need = -(-(ln + n_tokens) // self.block_size)
+        tbl = self.tables[seq_id]
+        assert len(self.free) >= need - len(tbl), "out of KV blocks"
+        while len(tbl) < need:
+            tbl.append(self.free.pop())
+        self.lens[seq_id] = ln + n_tokens
+
     def release(self, seq_id: int):
         self.free.extend(reversed(self.tables.pop(seq_id)))
         del self.lens[seq_id]
@@ -129,12 +139,39 @@ def build_prefill_batch(mgr: BlockManager, prompts: dict[int, np.ndarray]):
     q_lens = [len(prompts[s]) for s in seq_ids]
     for sid, n in zip(seq_ids, q_lens):
         mgr.allocate(sid, n)
-    token_ids = np.concatenate([prompts[s] for s in seq_ids]).astype(np.int32)
+    return _pack_varlen(mgr, prompts, [0] * len(seq_ids))
+
+
+def build_chunked_prefill_batch(mgr: BlockManager,
+                                chunks: dict[int, np.ndarray]):
+    """Chunked-prefill / mixed-batch scheduling: each entry is the NEXT
+    chunk of a sequence's prompt.  New sequences are allocated, known
+    sequences extended — so one call can mix fresh prompts, continuation
+    chunks, and 1-token chunks of running sequences (the decode rows of
+    the reference's mixed batch, csrc/flash_attn/flash_api.cpp:236-322).
+    Returns the same tuple as build_prefill_batch."""
+    seq_ids = list(chunks)
+    starts = []
+    for sid in seq_ids:
+        if sid in mgr.lens:
+            starts.append(mgr.lens[sid])
+            mgr.extend(sid, len(chunks[sid]))
+        else:
+            starts.append(0)
+            mgr.allocate(sid, len(chunks[sid]))
+    return _pack_varlen(mgr, chunks, starts)
+
+
+def _pack_varlen(mgr: BlockManager, toks: dict[int, np.ndarray], starts):
+    seq_ids = list(toks)
+    q_lens = [len(toks[s]) for s in seq_ids]
+    token_ids = np.concatenate([toks[s] for s in seq_ids]).astype(np.int32)
     positions = np.concatenate(
-        [np.arange(n, dtype=np.int32) for n in q_lens])
+        [np.arange(st, st + n, dtype=np.int32)
+         for st, n in zip(starts, q_lens)])
     slots = np.concatenate([
-        np.asarray([mgr.slot(sid, p) for p in range(n)], np.int32)
-        for sid, n in zip(seq_ids, q_lens)])
+        np.asarray([mgr.slot(sid, p) for p in range(st, st + n)], np.int32)
+        for sid, st, n in zip(seq_ids, starts, q_lens)])
     cu_q = np.concatenate([[0], np.cumsum(q_lens)]).astype(np.int32)
     max_blocks = max(len(mgr.tables[s]) for s in seq_ids)
     tbl = mgr.block_table_batch(seq_ids, max_blocks)
