@@ -251,9 +251,18 @@ def paged_decode(
         return (b, 0, 0, 0)
 
     def kv_map_p(p):
+        # Tail handling: operand p's index FREEZES at its own last in-range
+        # page (p + pp*floor((last-p)/pp)) rather than clamping to `last`.
+        # The Pallas pipeline skips the DMA when an operand's block index is
+        # unchanged from the previous grid step, so frozen slots cost zero
+        # bandwidth; clamping to `last` re-fetched a page another slot had
+        # already loaded (9 pages at pp=4 issued 12 page DMAs, +33% KV
+        # traffic).  Stale tail data is masked by the kpos >= kv_len mask.
         def kv_map(b, j, kv_lens, tbl):
             last = jnp.maximum((kv_lens[b] + bs - 1) // bs - 1, 0)
-            jc = jnp.minimum(j * pp + p, last)
+            jmax = jnp.maximum((last - p) // pp, 0)
+            jc = jnp.where(p <= last,
+                           p + pp * jnp.minimum(j, jmax), last)
             return (tbl[b, jc], 0, 0, 0)
         return kv_map
 
