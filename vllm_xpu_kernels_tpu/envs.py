@@ -46,6 +46,15 @@ VXK_DECODE_PAGES_PER_STEP = _register(
     "Override KV pages per decode-kernel grid step (0 = auto VMEM-capped; "
     "the tuning knob for kernels/flash_attention.paged_decode).")
 
+VXK_DECODE_IMPL = _register(
+    "VXK_DECODE_IMPL", str, "dma",
+    "Paged-decode kernel variant: 'dma' (grid over sequences, "
+    "kernel-managed multi-buffered page DMAs) or 'pipelined' (grid over "
+    "(seq, page-group), BlockSpec-pipelined page operands).")
+VXK_DECODE_DMA_DEPTH = _register(
+    "VXK_DECODE_DMA_DEPTH", int, 4,
+    "Prefetch depth (KV pages in flight) for the 'dma' decode kernel.")
+
 VXK_DEBUG_LOG = _register(
     "VXK_DEBUG_LOG", _bool, False,
     "Verbose engine logging (analogue of XPUMEM_DEBUG_LOG_METADATA).")

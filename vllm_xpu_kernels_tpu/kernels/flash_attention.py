@@ -190,6 +190,211 @@ def _decode_kernel(
         lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
+def _decode_kernel_dma(
+    spec,
+    # scalar prefetch
+    kv_lens_ref, tbl_ref,
+    # tensor inputs
+    sink_ref, descale_ref, q_ref, k_hbm, v_hbm,
+    # outputs
+    o_ref, lse_ref,
+    # scratch
+    kbuf, vbuf, m_ref, l_ref, acc_ref, sk, sv,
+):
+    """One grid step = one full sequence.  The kernel walks the block
+    table itself with multi-buffered async page copies (prefetch depth D
+    pages in flight), instead of one BlockSpec-pipelined operand per page
+    slot: per-grid-step cost drops from ~13 operand index-maps x
+    B*ceil(pages/pp) steps to a single fat step per sequence, and the DMA
+    queue stays D deep rather than the pipeline's fixed double buffer."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bs = spec["bs"]
+    depth = spec["depth"]
+    b = pl.program_id(0)
+    num_seqs = pl.num_programs(0)
+    kv_len = kv_lens_ref[b]
+    n_pages = jnp.maximum((kv_len + bs - 1) // bs, 1)
+
+    def issue(seq, page_i, slot):
+        pg = tbl_ref[seq, page_i]
+        pltpu.make_async_copy(
+            k_hbm.at[pg], kbuf.at[slot], sk.at[slot]).start()
+        pltpu.make_async_copy(
+            v_hbm.at[pg], vbuf.at[slot], sv.at[slot]).start()
+
+    # Fill: only the first sequence issues its own head pages — every
+    # later sequence's head was prefetched by the previous grid step's
+    # epilogue, so the DMA stream never drains at sequence boundaries.
+    @pl.when(b == 0)
+    def _():
+        for s in range(depth):
+            @pl.when(s < n_pages)
+            def _():
+                issue(b, s, s)
+
+    m_ref[...] = jnp.full_like(m_ref, _NEG)
+    l_ref[...] = jnp.zeros_like(l_ref)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    q = q_ref[0].astype(jnp.float32) * spec["scale"]     # [hkv, g, d]
+    g = q.shape[1]
+
+    def consume(i, slot):
+        """Wait page i (in buffer slot; slot is a python int so every
+        kbuf/vbuf access is statically indexed), fold into the online
+        softmax, prefetch page i+depth into the freed slot."""
+        from vllm_xpu_kernels_tpu.kernels.quant_matmul import fp8_upcast_f32
+
+        pg = tbl_ref[b, i]
+        pltpu.make_async_copy(
+            k_hbm.at[pg], kbuf.at[slot], sk.at[slot]).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[pg], vbuf.at[slot], sv.at[slot]).wait()
+        k = fp8_upcast_f32(kbuf[slot])
+        v = fp8_upcast_f32(vbuf[slot])
+        if spec["fp8_kv"]:
+            k = k * descale_ref[0, 0]
+            v = v * descale_ref[0, 1]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [hkv, g, bs]
+        if spec["softcap"]:
+            s = spec["softcap"] * jnp.tanh(s / spec["softcap"])
+        kpos = i * bs + jax.lax.broadcasted_iota(jnp.int32, (1, g, bs), 2)
+        mask = kpos >= kv_len
+        if spec["window_left"] >= 0:
+            mask = mask | (kpos < kv_len - 1 - spec["window_left"])
+        s = jnp.where(mask, -jnp.inf, s)
+        cur = jnp.max(s, axis=-1, keepdims=True)
+        m_old = m_ref[...]
+        m_new = jnp.maximum(jnp.maximum(cur, m_old), _NEG)
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [hkv, g, dv]
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        m_ref[...] = m_new
+
+        @pl.when(i + depth < n_pages)
+        def _():
+            issue(b, i + depth, slot)
+
+    # rounds of `depth` statically-unrolled slots
+    n_rounds = (n_pages + depth - 1) // depth
+
+    def round_body(r, carry):
+        base = r * depth
+        for slot in range(depth):
+            @pl.when(base + slot < n_pages)
+            def _():
+                consume(base + slot, slot)
+        return carry
+
+    jax.lax.fori_loop(0, n_rounds, round_body, 0, unroll=False)
+
+    # Epilogue: prefetch the next sequence's first pages while this
+    # step finalizes and the pipeline swaps q/output blocks.
+    @pl.when(b + 1 < num_seqs)
+    def _():
+        nxt_pages = jnp.maximum(
+            (kv_lens_ref[b + 1] + bs - 1) // bs, 1)
+        for s in range(depth):
+            @pl.when(s < nxt_pages)
+            def _():
+                issue(b + 1, s, s)
+
+    m = m_ref[...]
+    l = l_ref[...]
+    acc = acc_ref[...]
+    if spec["has_sink"]:
+        sink = sink_ref[...]                             # [hkv, g, 1]
+        m_f = jnp.maximum(m, sink)
+        corr = jnp.exp(m - m_f)
+        l = l * corr + jnp.exp(sink - m_f)
+        acc = acc * corr
+        m = m_f
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def _paged_decode_dma(
+    q, k_cache, v_cache, seqused_k, block_table, *,
+    scale, window, softcap, sink, k_descale, v_descale, max_seqlen_k,
+):
+    """Sequence-grid decode with kernel-managed page DMAs.
+    -> (out [B, Hkv, G, Dv], lse [B, Hkv, G, 1])."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vllm_xpu_kernels_tpu.envs import VXK_DECODE_DMA_DEPTH
+
+    b_, hq, d = q.shape
+    nb, hkv, bs, _ = k_cache.shape
+    dv = v_cache.shape[-1]
+    g = hq // hkv
+    n_tiles = _cdiv(min(max_seqlen_k, nb * bs), bs)
+    depth = max(1, min(VXK_DECODE_DMA_DEPTH(), n_tiles))
+
+    q4 = q.reshape(b_, hkv, g, d)
+    sink_arr = (jnp.zeros((hkv, g, 1), jnp.float32) if sink is None
+                else sink.astype(jnp.float32).reshape(hkv, g, 1))
+    desc = jnp.stack([
+        jnp.asarray(1.0 if k_descale is None else k_descale,
+                    jnp.float32).reshape(()),
+        jnp.asarray(1.0 if v_descale is None else v_descale,
+                    jnp.float32).reshape(()),
+    ]).reshape(1, 2)
+
+    spec = dict(
+        bs=bs, scale=float(scale), softcap=float(softcap or 0.0),
+        window_left=int(window[0]), has_sink=sink is not None,
+        fp8_kv=k_cache.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2),
+        depth=depth,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b_,),
+        in_specs=[
+            pl.BlockSpec((hkv, g, 1), lambda b, *_: (0, 0, 0)),   # sink
+            pl.BlockSpec((1, 2), lambda b, *_: (0, 0),
+                         memory_space=pltpu.SMEM),                # descale
+            pl.BlockSpec((1, hkv, g, d), lambda b, *_: (b, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),                    # k pages
+            pl.BlockSpec(memory_space=pl.ANY),                    # v pages
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hkv, g, dv), lambda b, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, g, 1), lambda b, *_: (b, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((depth, hkv, bs, d), k_cache.dtype),
+            pltpu.VMEM((depth, hkv, bs, dv), v_cache.dtype),
+            pltpu.VMEM((hkv, g, 1), jnp.float32),
+            pltpu.VMEM((hkv, g, 1), jnp.float32),
+            pltpu.VMEM((hkv, g, dv), jnp.float32),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_decode_kernel_dma, spec),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b_, hkv, g, dv), q.dtype),
+            jax.ShapeDtypeStruct((b_, hkv, g, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret_mode(),
+    )(seqused_k.astype(jnp.int32), block_table.astype(jnp.int32),
+      sink_arr, desc, q4, k_cache, v_cache)
+
+
 def paged_decode(
     q: jax.Array,                 # [B, Hq, D]
     k_cache: jax.Array,           # [nb, Hkv, bs, D]  (TPU-native layout)
@@ -216,6 +421,14 @@ def paged_decode(
     nb, hkv, bs, _ = k_cache.shape
     dv = v_cache.shape[-1]
     g = hq // hkv
+
+    from vllm_xpu_kernels_tpu.envs import VXK_DECODE_IMPL
+    if VXK_DECODE_IMPL() == "dma" and pages_per_step is None:
+        out, lse4 = _paged_decode_dma(
+            q, k_cache, v_cache, seqused_k, block_table, scale=scale,
+            window=window, softcap=softcap, sink=sink, k_descale=k_descale,
+            v_descale=v_descale, max_seqlen_k=max_seqlen_k)
+        return out.reshape(b_, hq, dv), lse4.reshape(b_, hq).T
     n_tiles = _cdiv(min(max_seqlen_k, nb * bs), bs)
     # pages per grid step: fat steps amortize per-step pipeline cost; cap
     # VMEM at ~2 MB of pages per buffered stage.
