@@ -130,3 +130,49 @@ def test_ep_fused_moe_matches_single_device():
     out = jax.jit(f)(x, w13, w2, tw, ti)
     assert_allclose(out, np.asarray(golden, np.float32), rtol=3e-2,
                     atol=3e-2 * max(1.0, np.abs(np.asarray(golden)).max()))
+
+
+@pytest.mark.parametrize("n_stages,m", [(2, 4), (4, 4), (4, 1)])
+def test_gpipe_pipeline_matches_sequential(n_stages, m):
+    """Stage-sharded GPipe pipeline == sequential layer stack."""
+    from vllm_xpu_kernels_tpu.parallel import (
+        gpipe_apply, stack_stage_params)
+
+    mb, d = 8, 32
+    layers_per_stage = 2
+    n_layers = n_stages * layers_per_stage
+    rng = np.random.default_rng(0)
+    per_layer = [
+        {"w": jnp.asarray(rng.standard_normal((d, d)) * (d ** -0.5),
+                          jnp.float32),
+         "b": jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)}
+        for _ in range(n_layers)
+    ]
+    x = jnp.asarray(rng.standard_normal((m, mb, d)), jnp.float32)
+
+    def layer(p, h):
+        return jnp.tanh(h @ p["w"] + p["b"])
+
+    # sequential golden
+    golden = x
+    for p in per_layer:
+        golden = jax.vmap(lambda h: layer(p, h))(golden)
+
+    stacked = stack_stage_params(per_layer, n_stages)  # [S, Lps, ...]
+    mesh = Mesh(np.array(jax.devices()[:n_stages]), ("pp",))
+
+    def stage_fn(stage_p, h):
+        for li in range(layers_per_stage):
+            h = layer(jax.tree.map(lambda a: a[li], stage_p), h)
+        return h
+
+    def run(stacked, x):
+        my = jax.tree.map(lambda a: a[0], stacked)  # this stage's params
+        return gpipe_apply(stage_fn, my, x, "pp")
+
+    f = shard_map(
+        run, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P("pp"), stacked), P()),
+        out_specs=P(), check_rep=False)
+    out = jax.jit(f)(stacked, x)
+    assert_allclose(out, np.asarray(golden), rtol=1e-5, atol=1e-5)

@@ -23,3 +23,8 @@ from vllm_xpu_kernels_tpu.parallel.context import (  # noqa: F401
 from vllm_xpu_kernels_tpu.parallel.moe import (  # noqa: F401
     ep_fused_moe,
 )
+from vllm_xpu_kernels_tpu.parallel.pipeline import (  # noqa: F401
+    AXIS_PP,
+    gpipe_apply,
+    stack_stage_params,
+)
