@@ -237,7 +237,9 @@ def _decode_kernel_dma(
     m_ref[...] = jnp.full_like(m_ref, _NEG)
     l_ref[...] = jnp.zeros_like(l_ref)
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    q = q_ref[0].astype(jnp.float32) * spec["scale"]     # [hkv, g, d]
+    # bf16 matmul operands, f32 accumulation (f32 x f32 MXU rate is a
+    # fraction of bf16); scale applies to the f32 logits.
+    q = q_ref[0].astype(jnp.bfloat16)                    # [hkv, g, d]
     g = q.shape[1]
 
     def consume(i, slot):
@@ -251,14 +253,17 @@ def _decode_kernel_dma(
             k_hbm.at[pg], kbuf.at[slot], sk.at[slot]).wait()
         pltpu.make_async_copy(
             v_hbm.at[pg], vbuf.at[slot], sv.at[slot]).wait()
-        k = fp8_upcast_f32(kbuf[slot])
-        v = fp8_upcast_f32(vbuf[slot])
         if spec["fp8_kv"]:
-            k = k * descale_ref[0, 0]
-            v = v * descale_ref[0, 1]
+            k = (fp8_upcast_f32(kbuf[slot])
+                 * descale_ref[0, 0]).astype(jnp.bfloat16)
+            v = (fp8_upcast_f32(vbuf[slot])
+                 * descale_ref[0, 1]).astype(jnp.bfloat16)
+        else:
+            k = kbuf[slot].astype(jnp.bfloat16)
+            v = vbuf[slot].astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)          # [hkv, g, bs]
+            preferred_element_type=jnp.float32) * spec["scale"]
         if spec["softcap"]:
             s = spec["softcap"] * jnp.tanh(s / spec["softcap"])
         kpos = i * bs + jax.lax.broadcasted_iota(jnp.int32, (1, g, bs), 2)
@@ -273,7 +278,7 @@ def _decode_kernel_dma(
         p = jnp.exp(s - m_new)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
+            p.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)          # [hkv, g, dv]
         acc_ref[...] = acc_ref[...] * alpha + pv
         m_ref[...] = m_new
@@ -423,7 +428,11 @@ def paged_decode(
     g = hq // hkv
 
     from vllm_xpu_kernels_tpu.envs import VXK_DECODE_IMPL
-    if VXK_DECODE_IMPL() == "dma" and pages_per_step is None:
+    # The dma kernel's manual HBM page slices need lane-aligned trailing
+    # dims (Mosaic memref_slice: last dim a multiple of 128); exotic head
+    # sizes (MLA 192/576, tiny test heads) take the pipelined kernel.
+    dma_ok = (d % 128 == 0 and dv % 128 == 0 and bs % 8 == 0)
+    if dma_ok and VXK_DECODE_IMPL() == "dma" and pages_per_step is None:
         out, lse4 = _paged_decode_dma(
             q, k_cache, v_cache, seqused_k, block_table, scale=scale,
             window=window, softcap=softcap, sink=sink, k_descale=k_descale,
@@ -527,22 +536,28 @@ def paged_decode(
 def _prefill_kernel(
     spec,
     # scalar prefetch
-    q_lens_ref, kv_lens_ref, tbl_ref, sink_ref, descale_ref,
-    # tensors
-    q_ref,            # [1, 1, bq, D]
-    k_ref,            # [1, 1, bkv, D]   (native layout, paged or padded)
-    v_ref,
-    o_ref,            # [1, 1, bq, Dv]
-    lse_ref,          # [1, 1, bq, 1]
-    m_ref, l_ref, acc_ref,
+    q_lens_ref, kv_lens_ref, tbl_ref,
+    # tensors: sink, descale, q, then P (k, v) tile pairs
+    *refs,
 ):
+    """One grid step = (seq, KV head, q tile, P KV tiles) with ALL of the
+    KV head's G q-heads batched into the step's matmuls ([G*bq, D] x
+    [bkv, D]).  The original per-q-head single-page grid ran 4096 steps
+    per layer at Llama-3-8B prefill shapes and was wholly bound by the
+    ~1 us/step pipeline cost (103 ms/step, 5% of MXU peak); head-group
+    batching x multi-page steps cut it ~16x."""
     import jax.experimental.pallas as pl
 
+    P = spec["pages"]
+    sink_ref, descale_ref, q_ref = refs[:3]
+    k_refs = refs[3:3 + P]
+    v_refs = refs[3 + P:3 + 2 * P]
+    o_ref, lse_ref, m_ref, l_ref, acc_ref = refs[3 + 2 * P:]
+
     b = pl.program_id(0)
-    h = pl.program_id(1)
     iq = pl.program_id(2)
     jk = pl.program_id(3)
-    bq, bkv = spec["bq"], spec["bkv"]
+    bq, bkv, g = spec["bq"], spec["bkv"], spec["g"]
 
     q_len = q_lens_ref[b]
     kv_len = kv_lens_ref[b]
@@ -554,44 +569,81 @@ def _prefill_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # causal early-out: lowest kv position this q-tile can see is bounded by
-    # (q_start + off); tiles wholly above it are skipped (masked anyway).
-    run = jk < n_kv_tiles
+    # bf16 matmul operands, f32 accumulation: f32 x f32 runs at a
+    # fraction of the MXU's bf16 rate (measured 15 vs 100+ TFLOPS here);
+    # the scale multiply stays in f32 on the accumulated logits.
+    q = q_ref[0, 0].astype(jnp.bfloat16)                 # [g, bq, D]
+    off = kv_len - q_len
+    qpos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (g, bq, bkv), 1)
 
-    @pl.when(run)
-    def _():
-        from vllm_xpu_kernels_tpu.kernels.quant_matmul import fp8_upcast_f32
+    # causal frontier: KV tiles strictly above the last visible position
+    # of this q tile are fully masked — skip their compute entirely
+    # (halves softmax VPU work and QK/PV MXU work for self-attention).
+    if spec["causal"]:
+        last_vis = iq * bq + bq - 1 + off
+        n_vis_tiles = jnp.minimum(
+            n_kv_tiles, jnp.maximum(last_vis // bkv + 1, 0))
+    else:
+        n_vis_tiles = n_kv_tiles
 
-        q = q_ref[0, 0].astype(jnp.float32) * spec["scale"]      # [bq, D]
-        k = fp8_upcast_f32(k_ref[0, 0])                          # [bkv, D]
-        v = fp8_upcast_f32(v_ref[0, 0])                          # [bkv, Dv]
-        if spec["fp8_kv"]:
-            k = k * descale_ref[0, 0]
-            v = v * descale_ref[0, 1]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bkv]
-        if spec["softcap"]:
-            s = spec["softcap"] * jnp.tanh(s / spec["softcap"])
-        qpos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
-        kpos = jk * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
-        off = kv_len - q_len
-        mask = (kpos >= kv_len) | (qpos >= q_len)
-        if spec["causal"]:
-            mask = mask | (kpos > qpos + off)
-        if spec["window_right"] >= 0:
-            mask = mask | (kpos > qpos + off + spec["window_right"])
-        if spec["window_left"] >= 0:
-            mask = mask | (kpos < qpos + off - spec["window_left"])
-        _softmax_step(s, mask, m_ref, l_ref, acc_ref, v, first=False)
+    for p in range(P):
+        jt = jk * P + p
+
+        @pl.when(jt < n_vis_tiles)
+        def _():
+            from vllm_xpu_kernels_tpu.kernels.quant_matmul import (
+                fp8_upcast_f32)
+
+            if spec["fp8_kv"]:
+                k = (fp8_upcast_f32(k_refs[p][0, 0])
+                     * descale_ref[0, 0]).astype(jnp.bfloat16)
+                v = (fp8_upcast_f32(v_refs[p][0, 0])
+                     * descale_ref[0, 1]).astype(jnp.bfloat16)
+            else:
+                k = k_refs[p][0, 0].astype(jnp.bfloat16)     # [bkv, D]
+                v = v_refs[p][0, 0].astype(jnp.bfloat16)     # [bkv, Dv]
+            s = jax.lax.dot_general(
+                q, k, (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * spec["scale"]
+            if spec["softcap"]:
+                s = spec["softcap"] * jnp.tanh(s / spec["softcap"])
+            kpos = jt * bkv + jax.lax.broadcasted_iota(
+                jnp.int32, (g, bq, bkv), 2)
+            mask = (kpos >= kv_len) | (qpos >= q_len)
+            if spec["causal"]:
+                mask = mask | (kpos > qpos + off)
+            if spec["window_right"] >= 0:
+                mask = mask | (kpos > qpos + off + spec["window_right"])
+            if spec["window_left"] >= 0:
+                mask = mask | (kpos < qpos + off - spec["window_left"])
+            s = jnp.where(mask, -jnp.inf, s)
+            cur = jnp.max(s, axis=-1, keepdims=True)         # [g, bq, 1]
+            m_old = m_ref[...]
+            m_new = jnp.maximum(jnp.maximum(cur, m_old), _NEG)
+            alpha = jnp.exp(m_old - m_new)
+            pmat = jnp.exp(s - m_new)
+            l_ref[...] = (l_ref[...] * alpha
+                          + jnp.sum(pmat, axis=-1, keepdims=True))
+            pv = jax.lax.dot_general(
+                pmat.astype(jnp.bfloat16), v, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [g, bq, Dv]
+            acc_ref[...] = acc_ref[...] * alpha + pv
+            m_ref[...] = m_new
 
     @pl.when(jk == pl.num_programs(3) - 1)
     def _():
-        sink_vec = None
+        m = m_ref[...]
+        l = l_ref[...]
+        acc = acc_ref[...]
         if spec["has_sink"]:
-            sv = sink_ref[0, h]
-            sink_vec = jnp.full((bq, 1), sv, jnp.float32)
-        out, lse = _finalize(m_ref, l_ref, acc_ref, sink_vec)
-        o_ref[0, 0] = out.astype(o_ref.dtype)
-        lse_ref[0, 0] = lse
+            sv = sink_ref[0]                                 # [g, 1]
+            m_f = jnp.maximum(m, sv[:, None, :])
+            corr = jnp.exp(m - m_f)
+            l = l * corr + jnp.exp(sv[:, None, :] - m_f)
+            acc = acc * corr
+            m = m_f
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def chunk_prefill(
@@ -646,9 +698,15 @@ def chunk_prefill(
         kv_lens = (cu_seqlens_k[1:] - cu_seqlens_k[:-1]).astype(jnp.int32)
         tbl = jnp.zeros((batch, 1), jnp.int32)
 
-    # pad q per-seq: [B, Hq, Qp, D]
+    # KV tiles per grid step (multi-page steps amortize the per-step
+    # pipeline cost; cap VMEM at ~1 MB of KV tiles per buffered stage).
+    tile_bytes = bkv * (d + dv) * k.dtype.itemsize
+    pages = max(1, min(n_kv_tiles, 1024 * 1024 // max(tile_bytes, 1), 4))
+    n_kv_steps = _cdiv(n_kv_tiles, pages)
+
+    # pad q per-seq, grouped by KV head: [B, Hkv, G, Qp, D]
     qpad, _, _ = attn_ops._gather_padded_q(q, cu_seqlens_q, batch, qp)
-    qpad = qpad.transpose(0, 2, 1, 3)  # [B, Hq, Qp, D]
+    qpad = qpad.transpose(0, 2, 1, 3).reshape(batch, hkv, g, qp, d)
     if not paged:
         kp = _round_up(kv_limit, bkv)
         kpad = attn_ops._gather_padded_kv_packed(
@@ -656,8 +714,8 @@ def chunk_prefill(
         vpad = attn_ops._gather_padded_kv_packed(
             v, cu_seqlens_k, batch, kp).transpose(0, 2, 1, 3)
 
-    sink_arr = (jnp.zeros((1, hq), jnp.float32) if sink is None
-                else sink.astype(jnp.float32).reshape(1, hq))
+    sink_arr = (jnp.zeros((hkv, g, 1), jnp.float32) if sink is None
+                else sink.astype(jnp.float32).reshape(hkv, g, 1))
     desc = jnp.stack([
         jnp.asarray(1.0 if k_descale is None else k_descale,
                     jnp.float32).reshape(()),
@@ -665,53 +723,62 @@ def chunk_prefill(
                     jnp.float32).reshape(()),
     ]).reshape(1, 2)
     spec = dict(
-        bq=bq, bkv=bkv, g=g, scale=float(scale), causal=bool(causal),
-        softcap=float(softcap or 0.0),
+        bq=bq, bkv=bkv, g=g, pages=pages, scale=float(scale),
+        causal=bool(causal), softcap=float(softcap or 0.0),
         window_left=int(window[0]), window_right=int(window[1]),
         has_sink=sink is not None,
         fp8_kv=(k.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)),
     )
 
     def q_map(b, h, iq, jk, *_):
-        return (b, h, iq, 0)
+        return (b, h, 0, iq, 0)
 
-    if paged:
+    def last_tile(b, iq, q_lens, kv_lens):
+        # last in-range KV tile for this (seq, q tile): bounded by the
+        # KV length and, for causal, by the q tile's visibility frontier
+        # — frozen slots past it issue no DMA (index unchanged).
+        last = jnp.maximum((kv_lens[b] + bkv - 1) // bkv - 1, 0)
+        if causal:
+            frontier = iq * bq + bq - 1 + kv_lens[b] - q_lens[b]
+            last = jnp.clip(frontier // bkv, 0, last)
+        return last
+
+    def kv_map_p(p, paged_map):
         def kv_map(b, h, iq, jk, q_lens, kv_lens, tbl):
-            last = jnp.maximum((kv_lens[b] + bkv - 1) // bkv - 1, 0)
-            jc = jnp.minimum(jk, last)
-            return (tbl[b, jc], h // g, 0, 0)
-        k_spec = pl.BlockSpec((1, 1, bkv, d), kv_map)
-        v_spec = pl.BlockSpec((1, 1, bkv, dv), kv_map)
-        k_in, v_in = k, v
-    else:
-        def kv_map(b, h, iq, jk, *_):
-            return (b, h // g, jk, 0)
-        k_spec = pl.BlockSpec((1, 1, bkv, d), kv_map)
-        v_spec = pl.BlockSpec((1, 1, bkv, dv), kv_map)
-        k_in, v_in = kpad, vpad
+            last = last_tile(b, iq, q_lens, kv_lens)
+            jmax = jnp.maximum((last - p) // pages, 0)
+            jc = jnp.where(p <= last,
+                           p + pages * jnp.minimum(jk, jmax), last)
+            if paged_map:
+                return (tbl[b, jc], h, 0, 0)
+            return (b, h, jc, 0)
+        return kv_map
+
+    k_specs = [pl.BlockSpec((1, 1, bkv, d), kv_map_p(p, paged))
+               for p in range(pages)]
+    v_specs = [pl.BlockSpec((1, 1, bkv, dv), kv_map_p(p, paged))
+               for p in range(pages)]
+    k_in, v_in = (k, v) if paged else (kpad, vpad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(batch, hq, n_q_tiles, n_kv_tiles),
+        grid=(batch, hkv, n_q_tiles, n_kv_steps),
         in_specs=[
-            pl.BlockSpec((1, hq), lambda b, h, iq, jk, *_: (0, 0),
-                         memory_space=pltpu.SMEM),   # per-q-head sinks
+            pl.BlockSpec((1, g, 1), lambda b, h, iq, jk, *_: (h, 0, 0)),
             pl.BlockSpec((1, 2), lambda *_: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, bq, d), q_map),
-            k_spec,
-            v_spec,
-        ],
+            pl.BlockSpec((1, 1, g, bq, d), q_map),
+        ] + k_specs + v_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, bq, dv),
+            pl.BlockSpec((1, g, bq, dv),
                          lambda b, h, iq, jk, *_: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, bq, 1),
+            pl.BlockSpec((1, g, bq, 1),
                          lambda b, h, iq, jk, *_: (b, h, iq, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, dv), jnp.float32),
+            pltpu.VMEM((g, bq, 1), jnp.float32),
+            pltpu.VMEM((g, bq, 1), jnp.float32),
+            pltpu.VMEM((g, bq, dv), jnp.float32),
         ],
     )
     opad, lsepad = pl.pallas_call(
@@ -726,7 +793,8 @@ def chunk_prefill(
                 "parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret_mode(),
-    )(q_lens, kv_lens, tbl, sink_arr, desc, qpad, k_in, v_in)
+    )(q_lens, kv_lens, tbl, sink_arr, desc, qpad,
+      *([k_in] * pages), *([v_in] * pages))
 
     seq_of_row, pos_of_row = attn_ops._row_maps(cu_seqlens_q, total_q, batch)
     out = opad[seq_of_row, :, pos_of_row]        # [total_q, Hq, Dv]

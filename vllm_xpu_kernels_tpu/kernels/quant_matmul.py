@@ -301,6 +301,10 @@ def int8_matmul_pallas(
     block_m: int = 256,
     block_n: int = 512,
     block_k: int = 2048,
+    a_row=None,                  # [M, 1] f32 per-token scales (optional)
+    b_col=None,                  # [1, N] f32 per-channel scales (optional)
+    bias=None,                   # [N] f32 (optional)
+    out_dtype=None,              # fused-epilogue output dtype
 ) -> jax.Array:
     """Native W8A8 int8 GEMM -> exact s32, on the MXU's int8 path.
 
@@ -325,7 +329,31 @@ def int8_matmul_pallas(
         bk -= 128
     assert bk >= 128 or bk == K, (K, bk)
 
-    def kernel(a_ref, b_ref, o_ref, acc_ref):
+    # Fused scale/bias epilogue: writing the s32 accumulator to HBM and
+    # scaling in XLA costs an extra s32 round trip per GEMM (s32 write +
+    # s32 read + narrow write ~= 2.5x the output bytes); applying the
+    # per-token/per-channel scales in the last K step writes the narrow
+    # dtype once.
+    fused = out_dtype is not None
+    if fused:
+        ar = (jnp.broadcast_to(
+            jnp.asarray(1.0 if a_row is None else a_row, jnp.float32
+                        ).reshape(-1, 1), (M, 1)))
+        bc = (jnp.broadcast_to(
+            jnp.asarray(1.0 if b_col is None else b_col, jnp.float32
+                        ).reshape(1, -1), (1, N)))
+        if bias is not None:
+            bc2 = jnp.concatenate(
+                [bc, jnp.asarray(bias, jnp.float32).reshape(1, N)], axis=0)
+        else:
+            bc2 = jnp.concatenate([bc, jnp.zeros((1, N), jnp.float32)],
+                                  axis=0)
+
+    def kernel(*refs):
+        if fused:
+            a_ref, b_ref, ar_ref, bc_ref, o_ref, acc_ref = refs
+        else:
+            a_ref, b_ref, o_ref, acc_ref = refs
         k = pl.program_id(2)
 
         @pl.when(k == 0)
@@ -338,15 +366,28 @@ def int8_matmul_pallas(
 
         @pl.when(k == pl.num_programs(2) - 1)
         def _():
-            o_ref[:] = acc_ref[:]
+            if fused:
+                out = (acc_ref[:].astype(jnp.float32)
+                       * ar_ref[...] * bc_ref[0:1]
+                       + bc_ref[1:2])
+                o_ref[:] = out.astype(o_ref.dtype)
+            else:
+                o_ref[:] = acc_ref[:]
 
+    in_specs = [pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+                pl.BlockSpec((bk, bn), lambda i, j, k: (k, j))]
+    operands = [a, b]
+    if fused:
+        in_specs += [pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+                     pl.BlockSpec((2, bn), lambda i, j, k: (0, j))]
+        operands += [ar, bc2]
     return pl.pallas_call(
         kernel,
         grid=(pl.cdiv(M, bm), pl.cdiv(N, bn), K // bk),
-        in_specs=[pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
-                  pl.BlockSpec((bk, bn), lambda i, j, k: (k, j))],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((M, N), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (M, N), out_dtype if fused else jnp.int32),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
@@ -356,7 +397,7 @@ def int8_matmul_pallas(
             transcendentals=0,
         ),
         interpret=interpret_mode(),
-    )(a, b)
+    )(*operands)
 
 
 def quant_matmul_pallas(

@@ -270,10 +270,14 @@ def int8_gemm_w8a8(
     assert a_grp is None and b_grp is None, (
         "int8_gemm_w8a8 takes per-tensor/per-token/per-channel scales")
     if use_pallas():
-        acc = qmm.int8_matmul_pallas(a2, B)
-    else:
-        acc = jnp.dot(a2.astype(jnp.int32), B.astype(jnp.int32),
-                      preferred_element_type=jnp.int32)
+        from vllm_xpu_kernels_tpu.registry import mosaic_safe_dtype
+
+        out = qmm.int8_matmul_pallas(
+            a2, B, a_row=a_row, b_col=b_col, bias=bias,
+            out_dtype=mosaic_safe_dtype(out_dtype))
+        return _unflatten(out.astype(out_dtype), lead)
+    acc = jnp.dot(a2.astype(jnp.int32), B.astype(jnp.int32),
+                  preferred_element_type=jnp.int32)
     out = acc.astype(jnp.float32)
     if a_row is not None:
         out = out * a_row
