@@ -64,14 +64,17 @@ def main():
         used = jnp.asarray(kv_lens, jnp.int32)
         cu = jnp.arange(B + 1, dtype=jnp.int32)
 
+        # caches ride in the carry: closed-over device arrays lower as
+        # inline MLIR constants (a full host round-trip per compile)
         if args.mode == "decode":
             q = jnp.asarray(rng.standard_normal((B, hq, d)) * 0.5,
                             jnp.bfloat16)
-            step = lambda x: ops.flash_attn_varlen_func(
-                x, kc, vc, 1, cu, maxb * bs, seqused_k=used,
+            step = lambda c: ops.flash_attn_varlen_func(
+                c[0], c[1], c[2], 1, cu, maxb * bs, seqused_k=used,
                 block_table=tblj, causal=True, kv_layout="bhsd")
-            fb = lambda y, x: (x * 0.999 + y * 1e-3).astype(x.dtype)
-            t = bench_op(step, fb, q)
+            fb = lambda y, c: ((c[0] * 0.999 + y * 1e-3).astype(
+                c[0].dtype), c[1], c[2])
+            t = bench_op(step, fb, (q, kc, vc))
             kv_bytes = sum(kv_lens) * hkv * d * 2 * 2
             print(report_row(f"decode {name} (B={B})", t,
                              bytes_moved=kv_bytes, peak_gbps=p["hbm_gbps"]))
@@ -82,11 +85,13 @@ def main():
                             jnp.bfloat16)
             cuq = jnp.asarray(
                 np.concatenate([[0], np.cumsum(q_lens)]).astype(np.int32))
-            step = lambda x: ops.flash_attn_varlen_func(
-                x, kc, vc, max(q_lens), cuq, maxb * bs, seqused_k=used,
-                block_table=tblj, causal=True, kv_layout="bhsd")
-            fb = lambda y, x: (x * 0.999 + y * 1e-3).astype(x.dtype)
-            t = bench_op(step, fb, q)
+            step = lambda c: ops.flash_attn_varlen_func(
+                c[0], c[1], c[2], max(q_lens), cuq, maxb * bs,
+                seqused_k=used, block_table=tblj, causal=True,
+                kv_layout="bhsd")
+            fb = lambda y, c: ((c[0] * 0.999 + y * 1e-3).astype(
+                c[0].dtype), c[1], c[2])
+            t = bench_op(step, fb, (q, kc, vc))
             flops = sum(2 * 2 * ql * kv * hq * d
                         for ql, kv in zip(q_lens, kv_lens))
             print(report_row(f"prefill {name}", t, flops=flops,

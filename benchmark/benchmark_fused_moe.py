@@ -25,7 +25,14 @@ def main():
     ap.add_argument("--topk", type=int, default=2)
     ap.add_argument("--quant", default="none",
                     choices=["none", "fp8_channel", "w8a8"])
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke/CI)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
@@ -70,12 +77,19 @@ def main():
             w2_scales=jnp.ones((e, d), jnp.float32))
         wbytes = w13.size + w2.size
 
-    def step(x):
+    # weights ride in the carry: closed-over device arrays are lowered
+    # as inline MLIR constants (a 1.4 GB host round-trip per compile on
+    # the tunnel); carried operands stay real arguments.
+    def step(carry):
+        x, w13, w2 = carry
         return ops.tpu_fused_moe(x, w13, w2, tw, ti, quant=args.quant,
                                  activation="silu", **kwargs)
 
-    tsec = bench_op(step, lambda y, x: (x * 0.999 + y * 1e-3
-                                        ).astype(x.dtype), x)
+    def fb(y, carry):
+        x, w13, w2 = carry
+        return (x * 0.999 + y * 1e-3).astype(x.dtype), w13, w2
+
+    tsec = bench_op(step, fb, (x, w13, w2))
     # tokens route to topk experts; all-expert weight read upper-bounds
     print(report_row(f"fused_moe t={t}", tsec, bytes_moved=wbytes,
                      peak_gbps=p["hbm_gbps"]))

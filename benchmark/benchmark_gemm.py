@@ -47,14 +47,17 @@ def main():
             a = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
             flops = 2 * M * K * N
 
-            # bf16 dense
+            # bf16 dense (weights ride in the carry: closed-over
+            # device arrays lower as inline MLIR constants — a full
+            # host round-trip per compile over the tunnel)
             wb = jnp.asarray(rng.standard_normal((K, N)) * 0.02,
                              jnp.bfloat16)
             t = bench_op(
-                lambda x, wb=wb: jnp.dot(
-                    x, wb, preferred_element_type=jnp.float32
+                lambda c: jnp.dot(
+                    c[0], c[1], preferred_element_type=jnp.float32
                 ).astype(jnp.bfloat16),
-                lambda y, x: (y[:, :K] * 1e-3).astype(x.dtype), a)
+                lambda y, c: ((y[:, :K] * 1e-3).astype(c[0].dtype), c[1]),
+                (a, wb))
             print(report_row(f"{name} [{M}x{K}x{N}] bf16", t, flops,
                              2 * K * N, p["bf16_tflops"], p["hbm_gbps"]))
 
@@ -63,8 +66,9 @@ def main():
                              jnp.float8_e4m3fn)
             s = jnp.ones((N,), jnp.float32)
             t = bench_op(
-                lambda x, wq=wq, s=s: ops.fp8_gemm_w8a16(x, wq, s),
-                lambda y, x: (y[:, :K] * 1e-3).astype(x.dtype), a)
+                lambda c: ops.fp8_gemm_w8a16(c[0], c[1], s),
+                lambda y, c: ((y[:, :K] * 1e-3).astype(c[0].dtype), c[1]),
+                (a, wq))
             print(report_row(f"{name} [{M}x{K}x{N}] fp8-w8a16", t, flops,
                              K * N, p["bf16_tflops"], p["hbm_gbps"]))
 
@@ -74,9 +78,11 @@ def main():
                 pk = jnp.asarray(pack_int4_splitk(w4, 128))
                 sg = jnp.ones((K // 128, N), jnp.float32)
                 t = bench_op(
-                    lambda x, pk=pk, sg=sg: ops.int4_gemm_w4a16(
-                        x, pk, None, sg, None, 128),
-                    lambda y, x: (y[:, :K] * 1e-3).astype(x.dtype), a)
+                    lambda c: ops.int4_gemm_w4a16(
+                        c[0], c[1], None, sg, None, 128),
+                    lambda y, c: ((y[:, :K] * 1e-3).astype(c[0].dtype),
+                                  c[1]),
+                    (a, pk))
                 print(report_row(f"{name} [{M}x{K}x{N}] int4-w4a16", t,
                                  flops, K * N // 2, p["bf16_tflops"],
                                  p["hbm_gbps"]))

@@ -31,15 +31,21 @@ def bench_op(step: Callable, feedback: Callable, x0, n_base: int = 10,
             return jax.lax.fori_loop(0, n, body, x)
         return jax.jit(loop)
 
+    def read_one(out):
+        # device->host over the tunnel runs ~70 MB/s: slice ONE element
+        # on device before transferring, or the readback noise (hundreds
+        # of ms for a large carry) swamps the differential for fast ops.
+        leaf = jax.tree.leaves(out)[0]
+        return np.asarray(leaf.ravel()[0:1])[0]
+
     f_a, f_b = chain(n_base), chain(n_base + n_delta)
     for f in (f_a, f_b):
-        out = f(x0)
-        _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+        _ = read_one(f(x0))
     t0 = time.perf_counter()
-    _ = np.asarray(jax.tree.leaves(f_a(x0))[0]).ravel()[0]
+    _ = read_one(f_a(x0))
     ta = time.perf_counter() - t0
     t0 = time.perf_counter()
-    _ = np.asarray(jax.tree.leaves(f_b(x0))[0]).ravel()[0]
+    _ = read_one(f_b(x0))
     tb = time.perf_counter() - t0
     return max((tb - ta) / n_delta, 1e-9)
 
