@@ -115,11 +115,16 @@ def grouped_matmul_pallas(
     quant: str = "none",   # none | fp8 | fp8_channel | w8a8 | int4 | mxfp4
     group_size: int = 0,
     block_m: int = 128,
-    block_n: int = 512,
-    block_k: int = 512,
+    block_n: int = 1024,
+    block_k: int = 2048,
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """out[r] = a[r] @ dequant(b[expert_of_block(r)]) (+ bias)."""
+    """out[r] = a[r] @ dequant(b[expert_of_block(r)]) (+ bias).
+
+    Default block sizes are tuned for the weight-bandwidth-bound MoE
+    regime on v5e: fewer, fatter grid steps (bn=1024, bk=2048 measured
+    498 GB/s expert-weight stream vs 293 at 512/512 — mixtral-8x7b
+    shapes, 10 M-blocks)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
