@@ -62,7 +62,8 @@ def main():
     step = jax.jit(
         lambda p, t, pos, cu, sl, tb, kvl, kc, vc: prefill_step(
             cfg, p, t, pos, cu, sl, tb, kvl, kc, vc,
-            max_seqlen_q=max_q, max_seqlen_k=max_k)[0],
+            max_seqlen_q=max_q, max_seqlen_k=max_k,
+            fresh_prefill=True)[0],
         donate_argnums=())
     argv = (params, jnp.asarray(token_ids), jnp.asarray(positions),
             jnp.asarray(cu_q), jnp.asarray(slots), jnp.asarray(tbl),

@@ -219,3 +219,54 @@ def test_indexer_k_quant_and_cache(scale_fmt):
     # (gather assumes contiguous slots; just check it runs + shapes)
     gk, gs = ops.cp_gather_indexer_k_quant_cache(kc2, sc2, bt, cu, T)
     assert gk.shape == (T, hd) and gs.shape == (T, hd // qb)
+
+
+def test_reshape_and_cache_tpu_prefill_matches_row_scatter():
+    """Page-granular fresh-prefill writes == the row scatter on every
+    slot that holds a real token (tail slots of a partial page may
+    differ — they are masked by attention and overwritten by decode)."""
+    import jax.numpy as jnp
+    from vllm_xpu_kernels_tpu import ops
+
+    rng = np.random.default_rng(7)
+    h, bs, hs = 4, 16, 64
+    q_lens = [33, 16, 7]
+    b = len(q_lens)
+    mb = max(-(-ql // bs) for ql in q_lens)
+    nb = sum(-(-ql // bs) for ql in q_lens) + 2
+    t = sum(q_lens)
+    key = jnp.asarray(rng.standard_normal((t, h, hs)), jnp.bfloat16)
+    val = jnp.asarray(rng.standard_normal((t, h, hs)), jnp.bfloat16)
+    kc = jnp.zeros((nb, h, bs, hs), jnp.bfloat16)
+    vc = jnp.zeros((nb, h, bs, hs), jnp.bfloat16)
+
+    tbl = np.zeros((b, mb), np.int32)
+    nxt = 1
+    slots = []
+    for i, ql in enumerate(q_lens):
+        nblk = -(-ql // bs)
+        tbl[i, :nblk] = np.arange(nxt, nxt + nblk)
+        for p in range(ql):
+            slots.append(tbl[i, p // bs] * bs + p % bs)
+        nxt += nblk
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(q_lens)]), jnp.int32)
+    slots = jnp.asarray(slots, jnp.int32)
+
+    kc_row, vc_row = ops.reshape_and_cache_tpu(key, val, kc, vc, slots)
+    kc_pg, vc_pg = ops.reshape_and_cache_tpu_prefill(
+        key, val, kc, vc, jnp.asarray(tbl), cu, max(q_lens))
+
+    # compare on written token slots only
+    for cache_row, cache_pg, src in ((kc_row, kc_pg, key),
+                                     (vc_row, vc_pg, val)):
+        row = np.asarray(cache_row, np.float32)
+        pg = np.asarray(cache_pg, np.float32)
+        tok = 0
+        for i, ql in enumerate(q_lens):
+            for p in range(ql):
+                blk, off = tbl[i, p // bs], p % bs
+                np.testing.assert_array_equal(pg[blk, :, off], row[blk, :, off])
+                np.testing.assert_array_equal(
+                    pg[blk, :, off],
+                    np.asarray(src[tok], np.float32))
+                tok += 1

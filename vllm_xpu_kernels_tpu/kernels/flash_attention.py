@@ -552,7 +552,8 @@ def _prefill_kernel(
     sink_ref, descale_ref, q_ref = refs[:3]
     k_refs = refs[3:3 + P]
     v_refs = refs[3 + P:3 + 2 * P]
-    o_ref, lse_ref, m_ref, l_ref, acc_ref = refs[3 + 2 * P:]
+    (o_ref, lse_ref, m_ref, l_ref, acc_ref,
+     s_buf, v_buf) = refs[3 + 2 * P:]
 
     b = pl.program_id(0)
     iq = pl.program_id(2)
@@ -586,27 +587,33 @@ def _prefill_kernel(
     else:
         n_vis_tiles = n_kv_tiles
 
-    for p in range(P):
-        jt = jk * P + p
+    # Stage all P page logits into one [g, bq, P*bkv] buffer and run a
+    # SINGLE online-softmax update per grid step: the per-tile
+    # max/exp/sum/acc-rescale passes are the VPU bottleneck at prefill
+    # (the matmuls are a minority of the time), and one wide update
+    # amortizes the acc rescale and max/sum over P pages.  Interior
+    # tiles (every row sees every column) also skip the position masks.
+    windowed = spec["window_left"] >= 0 or spec["window_right"] >= 0
+    q_full = (iq + 1) * bq <= q_len
 
-        @pl.when(jt < n_vis_tiles)
-        def _():
-            from vllm_xpu_kernels_tpu.kernels.quant_matmul import (
-                fp8_upcast_f32)
+    def stage_tile(p, jt, masked):
+        from vllm_xpu_kernels_tpu.kernels.quant_matmul import (
+            fp8_upcast_f32)
 
-            if spec["fp8_kv"]:
-                k = (fp8_upcast_f32(k_refs[p][0, 0])
-                     * descale_ref[0, 0]).astype(jnp.bfloat16)
-                v = (fp8_upcast_f32(v_refs[p][0, 0])
-                     * descale_ref[0, 1]).astype(jnp.bfloat16)
-            else:
-                k = k_refs[p][0, 0].astype(jnp.bfloat16)     # [bkv, D]
-                v = v_refs[p][0, 0].astype(jnp.bfloat16)     # [bkv, Dv]
-            s = jax.lax.dot_general(
-                q, k, (((2,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * spec["scale"]
-            if spec["softcap"]:
-                s = spec["softcap"] * jnp.tanh(s / spec["softcap"])
+        if spec["fp8_kv"]:
+            k = (fp8_upcast_f32(k_refs[p][0, 0])
+                 * descale_ref[0, 0]).astype(jnp.bfloat16)
+            v = (fp8_upcast_f32(v_refs[p][0, 0])
+                 * descale_ref[0, 1]).astype(jnp.bfloat16)
+        else:
+            k = k_refs[p][0, 0].astype(jnp.bfloat16)         # [bkv, D]
+            v = v_refs[p][0, 0].astype(jnp.bfloat16)         # [bkv, Dv]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * spec["scale"]
+        if spec["softcap"]:
+            s = spec["softcap"] * jnp.tanh(s / spec["softcap"])
+        if masked:
             kpos = jt * bkv + jax.lax.broadcasted_iota(
                 jnp.int32, (g, bq, bkv), 2)
             mask = (kpos >= kv_len) | (qpos >= q_len)
@@ -617,18 +624,50 @@ def _prefill_kernel(
             if spec["window_left"] >= 0:
                 mask = mask | (kpos < qpos + off - spec["window_left"])
             s = jnp.where(mask, -jnp.inf, s)
-            cur = jnp.max(s, axis=-1, keepdims=True)         # [g, bq, 1]
-            m_old = m_ref[...]
-            m_new = jnp.maximum(jnp.maximum(cur, m_old), _NEG)
-            alpha = jnp.exp(m_old - m_new)
-            pmat = jnp.exp(s - m_new)
-            l_ref[...] = (l_ref[...] * alpha
-                          + jnp.sum(pmat, axis=-1, keepdims=True))
-            pv = jax.lax.dot_general(
-                pmat.astype(jnp.bfloat16), v, (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [g, bq, Dv]
-            acc_ref[...] = acc_ref[...] * alpha + pv
-            m_ref[...] = m_new
+        s_buf[:, :, p * bkv:(p + 1) * bkv] = s
+        v_buf[p * bkv:(p + 1) * bkv] = v
+
+    for p in range(P):
+        jt = jk * P + p
+        if windowed:
+            @pl.when(jt < n_vis_tiles)
+            def _(p=p, jt=jt):
+                stage_tile(p, jt, True)
+        else:
+            interior = ((jt + 1) * bkv <= kv_len) & q_full
+            if spec["causal"]:
+                interior = interior & ((jt + 1) * bkv - 1 <= iq * bq + off)
+
+            @pl.when(interior)
+            def _(p=p, jt=jt):
+                stage_tile(p, jt, False)
+
+            @pl.when((jt < n_vis_tiles) & ~interior)
+            def _(p=p, jt=jt):
+                stage_tile(p, jt, True)
+
+        @pl.when(jt >= n_vis_tiles)
+        def _(p=p):
+            s_buf[:, :, p * bkv:(p + 1) * bkv] = jnp.full(
+                (g, bq, bkv), -jnp.inf, jnp.float32)
+            # exp(-inf)=0 rows must not meet NaN/Inf scratch garbage
+            # (0 * NaN = NaN in the PV matmul)
+            v_buf[p * bkv:(p + 1) * bkv] = jnp.zeros(
+                (bkv, v_buf.shape[-1]), v_buf.dtype)
+
+    s = s_buf[...]
+    cur = jnp.max(s, axis=-1, keepdims=True)                 # [g, bq, 1]
+    m_old = m_ref[...]
+    m_new = jnp.maximum(jnp.maximum(cur, m_old), _NEG)
+    alpha = jnp.exp(m_old - m_new)
+    pmat = jnp.exp(s - m_new)
+    l_ref[...] = (l_ref[...] * alpha
+                  + jnp.sum(pmat, axis=-1, keepdims=True))
+    pv = jax.lax.dot_general(
+        pmat.astype(jnp.bfloat16), v_buf[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [g, bq, Dv]
+    acc_ref[...] = acc_ref[...] * alpha + pv
+    m_ref[...] = m_new
 
     @pl.when(jk == pl.num_programs(3) - 1)
     def _():
@@ -779,6 +818,8 @@ def chunk_prefill(
             pltpu.VMEM((g, bq, 1), jnp.float32),
             pltpu.VMEM((g, bq, 1), jnp.float32),
             pltpu.VMEM((g, bq, dv), jnp.float32),
+            pltpu.VMEM((g, bq, pages * bkv), jnp.float32),   # staged logits
+            pltpu.VMEM((pages * bkv, dv), jnp.bfloat16),     # staged V
         ],
     )
     opad, lsepad = pl.pallas_call(

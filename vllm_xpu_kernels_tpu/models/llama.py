@@ -353,7 +353,7 @@ def _lora_for(lora_layer, name, lora_idx):
 def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
                      block_table, kv_lens, cu_q, max_q, max_k, tp_axis,
                      k_scale=None, v_scale=None, lora_layer=None,
-                     lora_idx=None):
+                     lora_idx=None, fresh_prefill=False):
     t = x.shape[0]
     hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
     qkv = _linear(x, lp["wqkv"],
@@ -373,11 +373,20 @@ def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
         v = qkv[:, (hq + hkv) * d:]
         q, k = ops.rotary_embedding(positions, q, k, d, rope, is_neox=True)
     fp8kv = kc_l.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
-    kc_l, vc_l = ops.reshape_and_cache_tpu(
-        k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l, vc_l,
-        slot_mapping,
-        kv_cache_dtype="fp8" if fp8kv else "auto",
-        k_scale=k_scale, v_scale=v_scale)
+    if fresh_prefill:
+        # fresh full prefill: page-granular writes (see
+        # ops.reshape_and_cache_tpu_prefill for the safety argument)
+        kc_l, vc_l = ops.reshape_and_cache_tpu_prefill(
+            k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l, vc_l,
+            block_table, cu_q, max_q,
+            kv_cache_dtype="fp8" if fp8kv else "auto",
+            k_scale=k_scale, v_scale=v_scale)
+    else:
+        kc_l, vc_l = ops.reshape_and_cache_tpu(
+            k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l, vc_l,
+            slot_mapping,
+            kv_cache_dtype="fp8" if fp8kv else "auto",
+            k_scale=k_scale, v_scale=v_scale)
     attn = ops.flash_attn_varlen_func(
         q.reshape(t, hq, d), kc_l, vc_l, max_q, cu_q, max_k,
         seqused_k=kv_lens, block_table=block_table, causal=True,
@@ -399,7 +408,7 @@ def _mlp_block(cfg, lp, x, tp_axis, lora_layer=None, lora_idx=None):
 def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
                     block_table, kv_lens, cu_q, max_q, max_k,
                     k_cache, v_cache, tp_axis, k_scale=None, v_scale=None,
-                    lora_params=None, lora_idx=None):
+                    lora_params=None, lora_idx=None, fresh_prefill=False):
     """Shared prefill/decode body over packed tokens [T]."""
     x = jnp.take(params["embed"], token_ids, axis=0)
     x = tp_psum(x, None)  # embed replicated; no-op
@@ -418,7 +427,8 @@ def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
         attn, kc_l, vc_l = _attention_block(
             cfg, lp, h, positions, rope, k_cache[li], v_cache[li],
             slot_mapping, block_table, kv_lens, cu_q, max_q, max_k,
-            tp_axis, k_scale, v_scale, ll, lora_idx)
+            tp_axis, k_scale, v_scale, ll, lora_idx,
+            fresh_prefill=fresh_prefill)
         h2, residual = ops.fused_add_rms_norm(
             attn, residual, lp["ln2"], cfg.rms_eps)
         x = _mlp_block(cfg, lp, h2, tp_axis, ll, lora_idx)
@@ -475,11 +485,14 @@ def prefill_step(
     tp_axis: Optional[str] = None,
     k_scale=None, v_scale=None,
     lora_params=None, lora_idx=None,
+    fresh_prefill: bool = False,
 ):
     """Chunked/whole prefill over packed sequences -> (logits [T, V],
-    caches)."""
+    caches).  Set ``fresh_prefill=True`` (static) when every sequence in
+    the batch starts at position 0 — enables page-granular cache writes
+    (ops.reshape_and_cache_tpu_prefill)."""
     return _forward_tokens(
         cfg, params, token_ids, positions, slot_mapping, block_table,
         kv_lens, cu_seqlens_q, max_seqlen_q, max_seqlen_k,
         k_cache, v_cache, tp_axis, k_scale, v_scale,
-        lora_params, lora_idx)
+        lora_params, lora_idx, fresh_prefill=fresh_prefill)

@@ -134,6 +134,59 @@ def reshape_and_cache_tpu(
             flat_v.reshape(value_cache.shape))
 
 
+@register_op("reshape_and_cache_tpu_prefill", "cache")
+def reshape_and_cache_tpu_prefill(
+    key: jax.Array,              # [T, H, hs] packed varlen
+    value: jax.Array,
+    key_cache: jax.Array,        # [nb, H, bs, hs]
+    value_cache: jax.Array,
+    block_table: jax.Array,      # [B, max_blocks]
+    cu_seqlens_q: jax.Array,     # [B+1]
+    max_seqlen_q: int,
+    kv_cache_dtype: str = "auto",
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+):
+    """Page-granular cache write for FRESH prefill (every sequence
+    starts at position 0, so its tokens fill its pages from offset 0).
+
+    One scatter index per page instead of one per (token, head) row:
+    the row scatter costs ~16 ms/step at Llama-3-8B prefill shapes
+    (32k scattered rows), this path ~2 ms.  Tail slots of a sequence's
+    last partial page receive padding garbage — safe, because attention
+    masks ``kpos >= kv_len`` and later decode steps overwrite those
+    slots.  NOT safe for chunked continuation (a chunk starting mid-page
+    would clobber earlier tokens): callers gate on fresh prefill and
+    fall back to ``reshape_and_cache_tpu``.
+    """
+    from vllm_xpu_kernels_tpu.ops import attention as attn_ops
+
+    nb, h, bs, hs = key_cache.shape
+    hs_v = value_cache.shape[-1]
+    b = int(cu_seqlens_q.shape[0]) - 1
+    mb = -(-max_seqlen_q // bs)
+    qp = mb * bs
+    kq = _maybe_quant(key, kv_cache_dtype, k_scale).astype(key_cache.dtype)
+    vq = _maybe_quant(value, kv_cache_dtype, v_scale).astype(
+        value_cache.dtype)
+
+    def pages(x, d):
+        xp, _, _ = attn_ops._gather_padded_q(x, cu_seqlens_q, b, qp)
+        return xp.reshape(b, mb, bs, h, d).transpose(0, 1, 3, 2, 4
+                                                     ).reshape(b * mb, h, bs, d)
+
+    q_lens = (cu_seqlens_q[1:] - cu_seqlens_q[:-1]).astype(jnp.int32)
+    blocks = block_table[:, :mb].astype(jnp.int32).reshape(-1)
+    written = (jnp.arange(mb, dtype=jnp.int32)[None, :] * bs
+               < q_lens[:, None]).reshape(-1)
+    idx = jnp.where(written, blocks, nb)      # nb = out-of-range -> drop
+    kc = key_cache.at[idx].set(pages(kq, hs), mode="drop",
+                               unique_indices=True)
+    vc = value_cache.at[idx].set(pages(vq, hs_v), mode="drop",
+                                 unique_indices=True)
+    return kc, vc
+
+
 @register_op("reshape_and_cache", "cache")
 def reshape_and_cache(
     key: jax.Array,
