@@ -182,3 +182,20 @@ def test_silu_and_mul_mxfp4_quant():
     err = np.abs(deq - golden)
     bound = np.repeat(sn, 32, axis=1) * 1.0 + 1e-3
     assert np.all(err <= bound)
+
+
+def test_silu_and_mul_per_token_quant(impl):
+    """Fused silu+mul + dynamic per-token int8 == silu_and_mul followed
+    by dynamic_per_token_scaled_int8_quant (both impl tiers)."""
+    (k,) = keys(9, 1)
+    x = rand(k, (24, 512), jnp.bfloat16)
+    q, s = ops.silu_and_mul_per_token_quant(x)
+    assert q.shape == (24, 256) and q.dtype == jnp.int8
+    assert s.shape == (24,)
+    ref = np.asarray(ops.silu_and_mul(x), np.float32)
+    deq = np.asarray(q, np.float32) * np.asarray(s)[:, None]
+    absmax = np.abs(ref).max(axis=1)
+    # int8 quantization error <= scale/2, plus bf16 rounding of the
+    # golden (silu_and_mul returns bf16; the kernel quantizes f32 values)
+    bound = (absmax / 127.0 / 2 + 1e-6)[:, None] + np.abs(ref) * 2.0 ** -7
+    assert np.all(np.abs(deq - ref) <= bound)

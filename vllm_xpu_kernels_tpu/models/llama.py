@@ -126,15 +126,25 @@ def _init_linear(key, fan_in, fan_out, cfg, quant_cols=True):
     return quantize_linear(w, cfg.quant, cfg.jdtype)
 
 
-def _linear(x, p, tp_axis=None, reduce_out=False, lora=None):
+def _linear(x, p, tp_axis=None, reduce_out=False, lora=None, a_q=None,
+            out_dtype=jnp.bfloat16):
     """p: {'w', quant scales..., optional 'b' bias} — bias stays bf16 and
     is added after the (possibly quantized) GEMM, matching the reference's
-    oneDNN bias epilogues (csrc/xpu/onednn/onednn_matmul.cpp)."""
+    oneDNN bias epilogues (csrc/xpu/onednn/onednn_matmul.cpp).
+
+    ``a_q=(q_int8, scales)``: pre-quantized activations from a fused
+    norm-quant / act-quant producer (w8a8 only; ``x`` may be None then —
+    LoRA needs the bf16 activations, so callers keep x when lora is on).
+    """
     if "s8" in p:
         # w8a8: dynamic per-token int8 activations, native MXU int8 matmul
-        q, a_s = ops.dynamic_per_token_scaled_int8_quant(x)
+        if a_q is not None:
+            q, a_s = a_q
+        else:
+            q, a_s = ops.dynamic_per_token_scaled_int8_quant(x)
         out = ops.int8_gemm_w8a8(q, p["w"], A_scale=a_s, B_scale=p["s8"],
-                                 out_dtype=x.dtype)
+                                 out_dtype=(x.dtype if x is not None
+                                            else out_dtype))
     elif "s" in p and p["s"].ndim == 2:
         # mxfp4: split-K packed e2m1 + per-32-group pow2 scales
         out = _mx_linear(x, p["w"], p["s"])
@@ -353,10 +363,10 @@ def _lora_for(lora_layer, name, lora_idx):
 def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
                      block_table, kv_lens, cu_q, max_q, max_k, tp_axis,
                      k_scale=None, v_scale=None, lora_layer=None,
-                     lora_idx=None, fresh_prefill=False):
-    t = x.shape[0]
+                     lora_idx=None, fresh_prefill=False, a_q=None):
+    t = (x if x is not None else a_q[0]).shape[0]
     hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
-    qkv = _linear(x, lp["wqkv"],
+    qkv = _linear(x, lp["wqkv"], a_q=a_q,
                   lora=_lora_for(lora_layer, "wqkv", lora_idx))
     if "qnorm" in lp:
         # Qwen3-style per-head QK RMSNorm fused with RoPE on packed qkv
@@ -398,8 +408,14 @@ def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
     return out, kc_l, vc_l
 
 
-def _mlp_block(cfg, lp, x, tp_axis, lora_layer=None, lora_idx=None):
-    gu = _linear(x, lp["wgu"], lora=_lora_for(lora_layer, "wgu", lora_idx))
+def _mlp_block(cfg, lp, x, tp_axis, lora_layer=None, lora_idx=None,
+               a_q=None):
+    gu = _linear(x, lp["wgu"], a_q=a_q,
+                 lora=_lora_for(lora_layer, "wgu", lora_idx))
+    if "s8" in lp["wd"] and lora_layer is None:
+        dq, ds = ops.silu_and_mul_per_token_quant(gu)
+        return _linear(None, lp["wd"], tp_axis, reduce_out=True,
+                       a_q=(dq, ds), out_dtype=gu.dtype)
     act = ops.silu_and_mul(gu)
     return _linear(act, lp["wd"], tp_axis, reduce_out=True,
                    lora=_lora_for(lora_layer, "wd", lora_idx))
@@ -420,18 +436,34 @@ def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
     k_cache = list(k_cache)
     v_cache = list(v_cache)
     for li, lp in enumerate(params["layers"]):
-        h, residual = ops.fused_add_rms_norm(
-            x, residual, lp["ln1"], cfg.rms_eps)
         ll = (lora_params["layers"][li] if lora_params is not None
               else None)
+        # w8a8 without LoRA: norm + per-token int8 quant fused in one
+        # Pallas pass (ops.rms_norm_dynamic_per_token_quant int8 tier);
+        # LoRA needs the bf16 normed activations, so it keeps the split.
+        fuse8 = "s8" in lp["wqkv"] and ll is None
+        if fuse8:
+            hq8, hs8, residual = ops.rms_norm_dynamic_per_token_quant(
+                x, lp["ln1"], cfg.rms_eps, jnp.int8, residual=residual)
+            h, aq1 = None, (hq8, hs8)
+        else:
+            h, residual = ops.fused_add_rms_norm(
+                x, residual, lp["ln1"], cfg.rms_eps)
+            aq1 = None
         attn, kc_l, vc_l = _attention_block(
             cfg, lp, h, positions, rope, k_cache[li], v_cache[li],
             slot_mapping, block_table, kv_lens, cu_q, max_q, max_k,
             tp_axis, k_scale, v_scale, ll, lora_idx,
-            fresh_prefill=fresh_prefill)
-        h2, residual = ops.fused_add_rms_norm(
-            attn, residual, lp["ln2"], cfg.rms_eps)
-        x = _mlp_block(cfg, lp, h2, tp_axis, ll, lora_idx)
+            fresh_prefill=fresh_prefill, a_q=aq1)
+        if fuse8:
+            h2q8, h2s8, residual = ops.rms_norm_dynamic_per_token_quant(
+                attn, lp["ln2"], cfg.rms_eps, jnp.int8, residual=residual)
+            x = _mlp_block(cfg, lp, None, tp_axis, ll, lora_idx,
+                           a_q=(h2q8, h2s8))
+        else:
+            h2, residual = ops.fused_add_rms_norm(
+                attn, residual, lp["ln2"], cfg.rms_eps)
+            x = _mlp_block(cfg, lp, h2, tp_axis, ll, lora_idx)
         k_cache[li] = kc_l
         v_cache[li] = vc_l
     x = (x.astype(jnp.float32) + residual.astype(jnp.float32)).astype(x.dtype)

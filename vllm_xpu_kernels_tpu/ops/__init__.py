@@ -23,6 +23,7 @@ from vllm_xpu_kernels_tpu.ops.activation import (  # noqa: F401
     gelu_quick,
     silu_and_mul_quant,
     silu_and_mul_per_block_quant,
+    silu_and_mul_per_token_quant,
     silu_and_mul_mxfp4_quant,
 )
 from vllm_xpu_kernels_tpu.ops.layernorm import (  # noqa: F401

@@ -243,6 +243,26 @@ def silu_and_mul_per_block_quant(
     )
 
 
+@register_op("silu_and_mul_per_token_quant", "activation")
+def silu_and_mul_per_token_quant(x: jax.Array, quant_dtype=jnp.int8):
+    """Fused SiLU·mul + dynamic per-token int8 quant -> (q [T,d],
+    scales [T] f32).  TPU-native extension: the activation-side half of
+    the W8A8 recipe fused into the gated activation (the reference fuses
+    quant into silu for its fp8 recipes, fused_silu_mul_block_quant.cpp;
+    the int8 per-token case is what the MXU-native path wants)."""
+    assert jnp.dtype(quant_dtype) == jnp.int8
+    orig_shape = x.shape
+    x2 = x.reshape(-1, orig_shape[-1])
+    if use_pallas():
+        q, s = _pallas_silu_mul_per_token_int8(x2)
+        return (q.reshape(*orig_shape[:-1], q.shape[-1]), s.reshape(-1))
+    y = _silu_mul_f32(x2)
+    absmax = jnp.max(jnp.abs(y), axis=-1)
+    s = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(y / s[:, None]), -128, 127).astype(jnp.int8)
+    return q.reshape(*orig_shape[:-1], q.shape[-1]), s
+
+
 @register_op("silu_and_mul_mxfp4_quant", "activation")
 def silu_and_mul_mxfp4_quant(
     x: jax.Array, group_size: int = 32, eps: float = 1e-10
@@ -255,6 +275,42 @@ def silu_and_mul_mxfp4_quant(
 # ---------------------------------------------------------------------------
 # Pallas kernel: fused silu_mul + static fp8 quant (single VMEM pass)
 # ---------------------------------------------------------------------------
+
+
+def _silu_mul_per_token_int8_kernel(x_ref, q_ref, s_ref):
+    d = q_ref.shape[1]
+    gate = x_ref[:, :d].astype(jnp.float32)
+    up = x_ref[:, d:].astype(jnp.float32)
+    y = gate * jax.nn.sigmoid(gate) * up
+    absmax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    s = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q_ref[:] = jnp.clip(jnp.round(y * (1.0 / s)), -128, 127
+                        ).astype(jnp.int8)
+    s_ref[:] = s
+
+
+def _pallas_silu_mul_per_token_int8(x2):
+    from jax.experimental import pallas as pl
+
+    t, d2 = x2.shape
+    d = d2 // 2
+    # VMEM: in tile (block_t, 2d) + f32 work; cap ~4 MB
+    block_t = min(256, max(8, (4 * 1024 * 1024) // (12 * d2) // 8 * 8),
+                  max(8, t))
+    return pl.pallas_call(
+        _silu_mul_per_token_int8_kernel,
+        grid=(pl.cdiv(t, block_t),),
+        in_specs=[pl.BlockSpec((block_t, d2), lambda i: (i, 0))],
+        out_specs=[
+            pl.BlockSpec((block_t, d), lambda i: (i, 0)),
+            pl.BlockSpec((block_t, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, d), jnp.int8),
+            jax.ShapeDtypeStruct((t, 1), jnp.float32),
+        ],
+        interpret=interpret_mode(),
+    )(x2)
 
 
 def _silu_mul_static_quant_kernel(qmax, scale_ref, x_ref, o_ref):
