@@ -270,3 +270,66 @@ def test_reshape_and_cache_tpu_prefill_matches_row_scatter():
                     pg[blk, :, off],
                     np.asarray(src[tok], np.float32))
                 tok += 1
+
+
+@pytest.mark.parametrize("kv_cache_dtype", ["auto", "fp8"])
+def test_reshape_and_cache_tpu_fused(kv_cache_dtype):
+    """Fused [nb, H, bs, 2*hs] writes == the split-pair row scatter."""
+    import jax
+
+    rng = np.random.default_rng(9)
+    k1, k2 = keys(11, 2)
+    T = 24
+    cache_dtype = (jnp.bfloat16 if kv_cache_dtype == "auto"
+                   else jnp.float8_e4m3fn)
+    key = rand(k1, (T, H, HS), jnp.bfloat16)
+    val = rand(k2, (T, H, HS), jnp.bfloat16)
+    slots = jnp.asarray(random_slots(rng, T))
+    scale = jnp.asarray([0.01], jnp.float32)
+    kvc = jnp.zeros((NB, H, BS, 2 * HS), cache_dtype)
+    kvc2 = jax.jit(ops.reshape_and_cache_tpu_fused, static_argnums=(4,))(
+        key, val, kvc, slots, kv_cache_dtype, scale, scale)
+    kc, vc = (jnp.zeros((NB, H, BS, HS), cache_dtype),) * 2
+    kc2, vc2 = ops.reshape_and_cache_tpu(
+        key, val, kc, vc, slots, kv_cache_dtype, scale, scale)
+    fused = np.asarray(kvc2, np.float32)
+    np.testing.assert_array_equal(fused[..., :HS], np.asarray(kc2, np.float32))
+    np.testing.assert_array_equal(fused[..., HS:], np.asarray(vc2, np.float32))
+
+
+def test_reshape_and_cache_tpu_prefill_fused():
+    """Fused page-granular fresh-prefill writes == the split pair on all
+    written token slots."""
+    rng = np.random.default_rng(13)
+    h, bs, hs = 4, 16, 64
+    q_lens = [33, 16, 7]
+    b = len(q_lens)
+    mb = max(-(-ql // bs) for ql in q_lens)
+    nb = sum(-(-ql // bs) for ql in q_lens) + 2
+    t = sum(q_lens)
+    key = jnp.asarray(rng.standard_normal((t, h, hs)), jnp.bfloat16)
+    val = jnp.asarray(rng.standard_normal((t, h, hs)), jnp.bfloat16)
+
+    tbl = np.zeros((b, mb), np.int32)
+    nxt = 1
+    for i, ql in enumerate(q_lens):
+        nblk = -(-ql // bs)
+        tbl[i, :nblk] = np.arange(nxt, nxt + nblk)
+        nxt += nblk
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(q_lens)]), jnp.int32)
+
+    kvc = ops.reshape_and_cache_tpu_prefill_fused(
+        key, val, jnp.zeros((nb, h, bs, 2 * hs), jnp.bfloat16),
+        jnp.asarray(tbl), cu, max(q_lens))
+    kc, vc = ops.reshape_and_cache_tpu_prefill(
+        key, val, jnp.zeros((nb, h, bs, hs), jnp.bfloat16),
+        jnp.zeros((nb, h, bs, hs), jnp.bfloat16),
+        jnp.asarray(tbl), cu, max(q_lens))
+    fused = np.asarray(kvc, np.float32)
+    for i, ql in enumerate(q_lens):
+        for p in range(ql):
+            blk, off = tbl[i, p // bs], p % bs
+            np.testing.assert_array_equal(
+                fused[blk, :, off, :hs], np.asarray(kc, np.float32)[blk, :, off])
+            np.testing.assert_array_equal(
+                fused[blk, :, off, hs:], np.asarray(vc, np.float32)[blk, :, off])

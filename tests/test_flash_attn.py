@@ -281,3 +281,55 @@ def test_decode_pages_per_step(pp, impl):
     golden, _ = np_ref_attn(qf, kv_lens, q_lens, keys_, vals_, scale,
                             causal=True)
     assert_allclose(out.reshape(golden.shape), golden, rtol=3e-2, atol=3e-2)
+
+
+def _fuse_pages(kj, vj):
+    """make_paged emits the flash [nb, bs, Hkv, hs] layout; the fused page
+    layout is [nb, Hkv, bs, hs_k + hs_v] (K in [..., :hs_k])."""
+    kn = jnp.transpose(kj, (0, 2, 1, 3))
+    vn = jnp.transpose(vj, (0, 2, 1, 3))
+    return jnp.concatenate([kn, vn], axis=-1)
+
+
+@pytest.mark.parametrize("decode_impl", ["dma", "pipelined"])
+@pytest.mark.parametrize("kv_dtype", [None, jnp.float8_e4m3fn])
+def test_decode_fused_kv(decode_impl, kv_dtype, impl, monkeypatch):
+    """Fused [nb, Hkv, bs, Dk+Dv] page layout matches the golden under
+    both decode kernels (one async DMA per page in the dma kernel;
+    two last-dim blocks of one operand in the pipelined kernel)."""
+    monkeypatch.setenv("VXK_DECODE_IMPL", decode_impl)
+    seq_lens = [(1, 1025), (1, 523), (1, 37)]
+    d = 128
+    qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \
+        make_paged(seq_lens, (8, 2), d, d, 16, 256, jnp.bfloat16, seed=11,
+                   kv_dtype=kv_dtype)
+    scale = d ** -0.5
+    kwargs = {}
+    kd = vd = None
+    if kv_dtype is not None:
+        kd, vd = 1.3, 0.7
+        kwargs["k_descale"] = jnp.float32(kd)
+        kwargs["v_descale"] = jnp.float32(vd)
+    out = ops.flash_attn_varlen_func(
+        qj, _fuse_pages(kj, vj), None, 1, cu_q, max(kv_lens),
+        seqused_k=used_k, block_table=tbl, causal=True,
+        softmax_scale=scale, kv_layout="fused", **kwargs)
+    golden, _ = np_ref_attn(qf, kv_lens, q_lens, keys_, vals_, scale,
+                            causal=True, k_descale=kd, v_descale=vd)
+    assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
+
+
+def test_prefill_fused_kv(impl):
+    """Mixed varlen prefill against the fused page layout."""
+    seq_lens = [(1, 1328), (5, 18), (129, 463)]
+    d = 128
+    qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \
+        make_paged(seq_lens, (8, 2), d, d, 16, 512, jnp.bfloat16, seed=12)
+    scale = d ** -0.5
+    out = ops.flash_attn_varlen_func(
+        qj, _fuse_pages(kj, vj), None, max(q_lens), cu_q, max(kv_lens),
+        seqused_k=used_k, block_table=tbl, causal=True,
+        softmax_scale=scale, kv_layout="fused")
+    golden, _ = np_ref_attn(qf, kv_lens, q_lens, keys_, vals_, scale,
+                            causal=True)
+    assert_allclose(out, golden, rtol=3e-2, atol=3e-2)

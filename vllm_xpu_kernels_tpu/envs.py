@@ -55,6 +55,12 @@ VXK_DECODE_DMA_DEPTH = _register(
     "VXK_DECODE_DMA_DEPTH", int, 4,
     "Prefetch depth (KV pages in flight) for the 'dma' decode kernel.")
 
+VXK_ATTN_EXP2 = _register(
+    "VXK_ATTN_EXP2", _bool, True,
+    "Run the attention online softmax in base 2 (fold log2e into the QK "
+    "scale and use the VPU's native pow2 instead of exp).  Numerically "
+    "equivalent; disable only for debugging.")
+
 VXK_DEBUG_LOG = _register(
     "VXK_DEBUG_LOG", _bool, False,
     "Verbose engine logging (analogue of XPUMEM_DEBUG_LOG_METADATA).")

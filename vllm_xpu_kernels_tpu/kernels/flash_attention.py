@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from vllm_xpu_kernels_tpu.registry import interpret_mode
 
 _NEG = -1e30
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
 
 
 def _cdiv(a, b):
@@ -47,50 +49,30 @@ def _round_up(a, b):
     return _cdiv(a, b) * b
 
 
-# ---------------------------------------------------------------------------
-# shared online-softmax step
-# ---------------------------------------------------------------------------
+def _exp_consts(scale, softcap, sink, hkv, g):
+    """Launch-time constants for the online softmax, optionally rewritten
+    in base 2 (``VXK_ATTN_EXP2``): exp(x) == exp2(x·log2e), and folding
+    log2e into the QK scale (or the softcap's output multiplier) turns
+    every exponential in the hot loop into the VPU's native pow2 with no
+    extra multiply.  ``l`` is invariant (exp2 of base-2 logits equals exp
+    of natural logits) — only the running max changes domain, and the
+    epilogue converts lse back via ``m·ln2 + log(l)``.
 
+    -> (spec_updates dict, sink_arr [hkv, g, 1] f32)."""
+    from vllm_xpu_kernels_tpu.envs import VXK_ATTN_EXP2
 
-def _softmax_step(s, mask, m_ref, l_ref, acc_ref, vtile, first):
-    """One KV-tile update.  s [rows, bkv] f32 logits (pre-mask), mask bool
-    (True = masked out), vtile [bkv, Dv] f32."""
-    s = jnp.where(mask, -jnp.inf, s)
-    cur = jnp.max(s, axis=-1, keepdims=True)
-    if first:
-        m_new = jnp.maximum(cur, _NEG)
-        p = jnp.exp(s - m_new)
-        l_new = jnp.sum(p, axis=-1, keepdims=True)
-        acc = jnp.dot(p.astype(vtile.dtype), vtile,
-                      preferred_element_type=jnp.float32)
-    else:
-        m_old = m_ref[...]
-        m_new = jnp.maximum(jnp.maximum(cur, m_old), _NEG)
-        alpha = jnp.exp(m_old - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc_ref[...] * alpha + jnp.dot(
-            p.astype(vtile.dtype), vtile, preferred_element_type=jnp.float32)
-    m_ref[...] = m_new
-    l_ref[...] = l_new
-    acc_ref[...] = acc
-
-
-def _finalize(m_ref, l_ref, acc_ref, sink_vec):
-    """-> (out [rows, Dv], lse [rows, 1]).  sink_vec: [rows, 1] f32 or None
-    (per-row attention-sink logit)."""
-    m = m_ref[...]
-    l = l_ref[...]
-    acc = acc_ref[...]
-    if sink_vec is not None:
-        m_f = jnp.maximum(m, sink_vec)
-        corr = jnp.exp(m - m_f)
-        l = l * corr + jnp.exp(sink_vec - m_f)
-        acc = acc * corr
-        m = m_f
-    out = acc / jnp.maximum(l, 1e-38)
-    lse = m + jnp.log(jnp.maximum(l, 1e-38))
-    return out, lse
+    base2 = VXK_ATTN_EXP2()
+    mult = _LOG2E if base2 else 1.0
+    softcap = float(softcap or 0.0)
+    sink_arr = (jnp.zeros((hkv, g, 1), jnp.float32) if sink is None
+                else (sink.astype(jnp.float32) * mult).reshape(hkv, g, 1))
+    return dict(
+        scale=float(scale) * (1.0 if softcap else mult),
+        softcap=softcap,
+        softcap_mult=softcap * mult,
+        exp2=base2,
+        m2ln=_LN2 if base2 else 1.0,
+    ), sink_arr
 
 
 # ---------------------------------------------------------------------------
@@ -134,6 +116,8 @@ def _decode_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    ex = jnp.exp2 if spec["exp2"] else jnp.exp
+
     @pl.when(j < n_steps)
     def _():
         from vllm_xpu_kernels_tpu.kernels.quant_matmul import fp8_upcast_f32
@@ -154,7 +138,7 @@ def _decode_kernel(
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)      # [hkv, g, bs]
             if spec["softcap"]:
-                s = spec["softcap"] * jnp.tanh(s / spec["softcap"])
+                s = spec["softcap_mult"] * jnp.tanh(s / spec["softcap"])
             kpos = ((j * P + pi) * bs
                     + jax.lax.broadcasted_iota(jnp.int32, (1, g, bs), 2))
             mask = kpos >= kv_len
@@ -164,8 +148,8 @@ def _decode_kernel(
             cur = jnp.max(s, axis=-1, keepdims=True)
             m_old = m_ref[...]
             m_new = jnp.maximum(jnp.maximum(cur, m_old), _NEG)
-            alpha = jnp.exp(m_old - m_new)
-            p = jnp.exp(s - m_new)
+            alpha = ex(m_old - m_new)
+            p = ex(s - m_new)
             l_ref[...] = (l_ref[...] * alpha
                           + jnp.sum(p, axis=-1, keepdims=True))
             pv = jax.lax.dot_general(
@@ -182,33 +166,46 @@ def _decode_kernel(
         if spec["has_sink"]:
             sink = sink_ref[...]                         # [hkv, g, 1]
             m_f = jnp.maximum(m, sink)
-            corr = jnp.exp(m - m_f)
-            l = l * corr + jnp.exp(sink - m_f)
+            corr = ex(m - m_f)
+            l = l * corr + ex(sink - m_f)
             acc = acc * corr
             m = m_f
         o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-        lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
+        lse_ref[0] = (m * spec["m2ln"]
+                      + jnp.log(jnp.maximum(l, 1e-30)))
 
 
 def _decode_kernel_dma(
     spec,
     # scalar prefetch
     kv_lens_ref, tbl_ref,
-    # tensor inputs
-    sink_ref, descale_ref, q_ref, k_hbm, v_hbm,
-    # outputs
-    o_ref, lse_ref,
-    # scratch
-    kbuf, vbuf, m_ref, l_ref, acc_ref, sk, sv,
+    # tensor inputs: sink, descale, q, then the cache —
+    #   split layout: k_hbm, v_hbm; fused layout: one kv_hbm
+    # outputs o/lse, then scratch (buffers, softmax state, semaphores)
+    *refs,
 ):
     """One grid step = one full sequence.  The kernel walks the block
     table itself with multi-buffered async page copies (prefetch depth D
     pages in flight), instead of one BlockSpec-pipelined operand per page
     slot: per-grid-step cost drops from ~13 operand index-maps x
     B*ceil(pages/pp) steps to a single fat step per sequence, and the DMA
-    queue stays D deep rather than the pipeline's fixed double buffer."""
+    queue stays D deep rather than the pipeline's fixed double buffer.
+
+    ``spec["fused"]``: the cache is one [nb, Hkv, bs, Dk+Dv] array — a
+    page is ONE async copy instead of a (K, V) pair, halving the per-page
+    DMA issue+wait overhead that dominates the decode-attention slack
+    (~2 DMA transactions/page measured as ~2 ms of a 19 ms 8B step)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    fused = spec["fused"]
+    d = spec["d"]
+    if fused:
+        (sink_ref, descale_ref, q_ref, kv_hbm, o_ref, lse_ref,
+         kvbuf, m_ref, l_ref, acc_ref, skv) = refs
+    else:
+        (sink_ref, descale_ref, q_ref, k_hbm, v_hbm, o_ref, lse_ref,
+         kbuf, vbuf, m_ref, l_ref, acc_ref, sk, sv) = refs
 
     bs = spec["bs"]
     depth = spec["depth"]
@@ -219,10 +216,14 @@ def _decode_kernel_dma(
 
     def issue(seq, page_i, slot):
         pg = tbl_ref[seq, page_i]
-        pltpu.make_async_copy(
-            k_hbm.at[pg], kbuf.at[slot], sk.at[slot]).start()
-        pltpu.make_async_copy(
-            v_hbm.at[pg], vbuf.at[slot], sv.at[slot]).start()
+        if fused:
+            pltpu.make_async_copy(
+                kv_hbm.at[pg], kvbuf.at[slot], skv.at[slot]).start()
+        else:
+            pltpu.make_async_copy(
+                k_hbm.at[pg], kbuf.at[slot], sk.at[slot]).start()
+            pltpu.make_async_copy(
+                v_hbm.at[pg], vbuf.at[slot], sv.at[slot]).start()
 
     # Fill: only the first sequence issues its own head pages — every
     # later sequence's head was prefetched by the previous grid step's
@@ -241,6 +242,7 @@ def _decode_kernel_dma(
     # fraction of bf16); scale applies to the f32 logits.
     q = q_ref[0].astype(jnp.bfloat16)                    # [hkv, g, d]
     g = q.shape[1]
+    ex = jnp.exp2 if spec["exp2"] else jnp.exp
 
     def consume(i, slot):
         """Wait page i (in buffer slot; slot is a python int so every
@@ -249,23 +251,31 @@ def _decode_kernel_dma(
         from vllm_xpu_kernels_tpu.kernels.quant_matmul import fp8_upcast_f32
 
         pg = tbl_ref[b, i]
-        pltpu.make_async_copy(
-            k_hbm.at[pg], kbuf.at[slot], sk.at[slot]).wait()
-        pltpu.make_async_copy(
-            v_hbm.at[pg], vbuf.at[slot], sv.at[slot]).wait()
+        if fused:
+            pltpu.make_async_copy(
+                kv_hbm.at[pg], kvbuf.at[slot], skv.at[slot]).wait()
+            kraw = kvbuf[slot, :, :, :d]
+            vraw = kvbuf[slot, :, :, d:]
+        else:
+            pltpu.make_async_copy(
+                k_hbm.at[pg], kbuf.at[slot], sk.at[slot]).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[pg], vbuf.at[slot], sv.at[slot]).wait()
+            kraw = kbuf[slot]
+            vraw = vbuf[slot]
         if spec["fp8_kv"]:
-            k = (fp8_upcast_f32(kbuf[slot])
+            k = (fp8_upcast_f32(kraw)
                  * descale_ref[0, 0]).astype(jnp.bfloat16)
-            v = (fp8_upcast_f32(vbuf[slot])
+            v = (fp8_upcast_f32(vraw)
                  * descale_ref[0, 1]).astype(jnp.bfloat16)
         else:
-            k = kbuf[slot].astype(jnp.bfloat16)
-            v = vbuf[slot].astype(jnp.bfloat16)
+            k = kraw.astype(jnp.bfloat16)
+            v = vraw.astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * spec["scale"]
         if spec["softcap"]:
-            s = spec["softcap"] * jnp.tanh(s / spec["softcap"])
+            s = spec["softcap_mult"] * jnp.tanh(s / spec["softcap"])
         kpos = i * bs + jax.lax.broadcasted_iota(jnp.int32, (1, g, bs), 2)
         mask = kpos >= kv_len
         if spec["window_left"] >= 0:
@@ -274,8 +284,8 @@ def _decode_kernel_dma(
         cur = jnp.max(s, axis=-1, keepdims=True)
         m_old = m_ref[...]
         m_new = jnp.maximum(jnp.maximum(cur, m_old), _NEG)
-        alpha = jnp.exp(m_old - m_new)
-        p = jnp.exp(s - m_new)
+        alpha = ex(m_old - m_new)
+        p = ex(s - m_new)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
@@ -317,12 +327,12 @@ def _decode_kernel_dma(
     if spec["has_sink"]:
         sink = sink_ref[...]                             # [hkv, g, 1]
         m_f = jnp.maximum(m, sink)
-        corr = jnp.exp(m - m_f)
-        l = l * corr + jnp.exp(sink - m_f)
+        corr = ex(m - m_f)
+        l = l * corr + ex(sink - m_f)
         acc = acc * corr
         m = m_f
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
+    lse_ref[0] = m * spec["m2ln"] + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _paged_decode_dma(
@@ -330,22 +340,24 @@ def _paged_decode_dma(
     scale, window, softcap, sink, k_descale, v_descale, max_seqlen_k,
 ):
     """Sequence-grid decode with kernel-managed page DMAs.
+    ``v_cache=None`` selects the fused layout: ``k_cache`` is
+    [nb, Hkv, bs, Dk+Dv] with K in [..., :Dk] (one DMA per page).
     -> (out [B, Hkv, G, Dv], lse [B, Hkv, G, 1])."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from vllm_xpu_kernels_tpu.envs import VXK_DECODE_DMA_DEPTH
 
+    fused = v_cache is None
     b_, hq, d = q.shape
     nb, hkv, bs, _ = k_cache.shape
-    dv = v_cache.shape[-1]
+    dv = (k_cache.shape[-1] - d) if fused else v_cache.shape[-1]
     g = hq // hkv
     n_tiles = _cdiv(min(max_seqlen_k, nb * bs), bs)
     depth = max(1, min(VXK_DECODE_DMA_DEPTH(), n_tiles))
 
     q4 = q.reshape(b_, hkv, g, d)
-    sink_arr = (jnp.zeros((hkv, g, 1), jnp.float32) if sink is None
-                else sink.astype(jnp.float32).reshape(hkv, g, 1))
+    exp_spec, sink_arr = _exp_consts(scale, softcap, sink, hkv, g)
     desc = jnp.stack([
         jnp.asarray(1.0 if k_descale is None else k_descale,
                     jnp.float32).reshape(()),
@@ -354,12 +366,21 @@ def _paged_decode_dma(
     ]).reshape(1, 2)
 
     spec = dict(
-        bs=bs, scale=float(scale), softcap=float(softcap or 0.0),
+        bs=bs,
         window_left=int(window[0]), has_sink=sink is not None,
         fp8_kv=k_cache.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2),
-        depth=depth,
+        depth=depth, fused=fused, d=d, **exp_spec,
     )
 
+    cache_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (1 if fused else 2)
+    if fused:
+        bufs = [pltpu.VMEM((depth, hkv, bs, d + dv), k_cache.dtype)]
+        sems = [pltpu.SemaphoreType.DMA((depth,))]
+    else:
+        bufs = [pltpu.VMEM((depth, hkv, bs, d), k_cache.dtype),
+                pltpu.VMEM((depth, hkv, bs, dv), v_cache.dtype)]
+        sems = [pltpu.SemaphoreType.DMA((depth,)),
+                pltpu.SemaphoreType.DMA((depth,))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b_,),
@@ -368,23 +389,18 @@ def _paged_decode_dma(
             pl.BlockSpec((1, 2), lambda b, *_: (0, 0),
                          memory_space=pltpu.SMEM),                # descale
             pl.BlockSpec((1, hkv, g, d), lambda b, *_: (b, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),                    # k pages
-            pl.BlockSpec(memory_space=pl.ANY),                    # v pages
-        ],
+        ] + cache_specs,
         out_specs=[
             pl.BlockSpec((1, hkv, g, dv), lambda b, *_: (b, 0, 0, 0)),
             pl.BlockSpec((1, hkv, g, 1), lambda b, *_: (b, 0, 0, 0)),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((depth, hkv, bs, d), k_cache.dtype),
-            pltpu.VMEM((depth, hkv, bs, dv), v_cache.dtype),
+        scratch_shapes=bufs + [
             pltpu.VMEM((hkv, g, 1), jnp.float32),
             pltpu.VMEM((hkv, g, 1), jnp.float32),
             pltpu.VMEM((hkv, g, dv), jnp.float32),
-            pltpu.SemaphoreType.DMA((depth,)),
-            pltpu.SemaphoreType.DMA((depth,)),
-        ],
+        ] + sems,
     )
+    caches = (k_cache,) if fused else (k_cache, v_cache)
     return pl.pallas_call(
         functools.partial(_decode_kernel_dma, spec),
         grid_spec=grid_spec,
@@ -397,7 +413,7 @@ def _paged_decode_dma(
         ),
         interpret=interpret_mode(),
     )(seqused_k.astype(jnp.int32), block_table.astype(jnp.int32),
-      sink_arr, desc, q4, k_cache, v_cache)
+      sink_arr, desc, q4, *caches)
 
 
 def paged_decode(
@@ -417,15 +433,24 @@ def paged_decode(
     num_splits_kv: int = 0,       # accepted for parity; see module doc
     pages_per_step: Optional[int] = None,
 ):
-    """-> (out [B, Hq, Dv], lse [Hq, B])."""
+    """-> (out [B, Hq, Dv], lse [Hq, B]).
+
+    ``v_cache=None`` selects the fused page layout (``k_cache`` is
+    [nb, Hkv, bs, Dk+Dv]): the dma impl copies each page with ONE async
+    DMA; the pipelined impl reads K/V as two last-dim blocks of the same
+    array (requires Dk == Dv)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     del num_splits_kv
+    fused = v_cache is None
     b_, hq, d = q.shape
     nb, hkv, bs, _ = k_cache.shape
-    dv = v_cache.shape[-1]
+    dv = (k_cache.shape[-1] - d) if fused else v_cache.shape[-1]
     g = hq // hkv
+    if fused:
+        assert d % 128 == 0 and dv % 128 == 0, (
+            "fused KV layout needs lane-aligned head sizes")
 
     from vllm_xpu_kernels_tpu.envs import VXK_DECODE_IMPL
     # The dma kernel's manual HBM page slices need lane-aligned trailing
@@ -438,6 +463,9 @@ def paged_decode(
             window=window, softcap=softcap, sink=sink, k_descale=k_descale,
             v_descale=v_descale, max_seqlen_k=max_seqlen_k)
         return out.reshape(b_, hq, dv), lse4.reshape(b_, hq).T
+    if fused:
+        assert d == dv, ("the pipelined decode kernel reads a fused cache "
+                         "as two equal last-dim blocks; Dk must equal Dv")
     n_tiles = _cdiv(min(max_seqlen_k, nb * bs), bs)
     # pages per grid step: fat steps amortize per-step pipeline cost; cap
     # VMEM at ~2 MB of pages per buffered stage.
@@ -452,8 +480,7 @@ def paged_decode(
     # (block dims equal the trailing array dims, satisfying Mosaic tiling).
     q4 = q.reshape(b_, hkv, g, d)
 
-    sink_arr = (jnp.zeros((hkv, g, 1), jnp.float32) if sink is None
-                else sink.astype(jnp.float32).reshape(hkv, g, 1))
+    exp_spec, sink_arr = _exp_consts(scale, softcap, sink, hkv, g)
     desc = jnp.stack([
         jnp.asarray(1.0 if k_descale is None else k_descale,
                     jnp.float32).reshape(()),
@@ -462,17 +489,16 @@ def paged_decode(
     ]).reshape(1, 2)
 
     spec = dict(
-        bs=bs, g=g, hkv=hkv, scale=float(scale),
-        softcap=float(softcap or 0.0),
+        bs=bs, g=g, hkv=hkv,
         window_left=int(window[0]), has_sink=sink is not None,
         fp8_kv=k_cache.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2),
-        pages_per_step=pp,
+        pages_per_step=pp, **exp_spec,
     )
 
     def q_map(b, j, kv_lens, tbl):
         return (b, 0, 0, 0)
 
-    def kv_map_p(p):
+    def kv_map_p(p, vblk=0):
         # Tail handling: operand p's index FREEZES at its own last in-range
         # page (p + pp*floor((last-p)/pp)) rather than clamping to `last`.
         # The Pallas pipeline skips the DMA when an operand's block index is
@@ -480,12 +506,14 @@ def paged_decode(
         # bandwidth; clamping to `last` re-fetched a page another slot had
         # already loaded (9 pages at pp=4 issued 12 page DMAs, +33% KV
         # traffic).  Stale tail data is masked by the kpos >= kv_len mask.
+        # ``vblk``: last-dim block index — fused caches read V as block 1
+        # of the [.., Dk+Dv] page (Dk == Dv required).
         def kv_map(b, j, kv_lens, tbl):
             last = jnp.maximum((kv_lens[b] + bs - 1) // bs - 1, 0)
             jmax = jnp.maximum((last - p) // pp, 0)
             jc = jnp.where(p <= last,
                            p + pp * jnp.minimum(j, jmax), last)
-            return (tbl[b, jc], 0, 0, 0)
+            return (tbl[b, jc], 0, 0, vblk)
         return kv_map
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -499,7 +527,8 @@ def paged_decode(
         ] + [
             pl.BlockSpec((1, hkv, bs, d), kv_map_p(p)) for p in range(pp)
         ] + [
-            pl.BlockSpec((1, hkv, bs, dv), kv_map_p(p)) for p in range(pp)
+            pl.BlockSpec((1, hkv, bs, dv), kv_map_p(p, vblk=1 if fused else 0))
+            for p in range(pp)
         ],
         out_specs=[
             pl.BlockSpec((1, hkv, g, dv), lambda b, j, *_: (b, 0, 0, 0)),
@@ -524,7 +553,8 @@ def paged_decode(
         ),
         interpret=interpret_mode(),
     )(seqused_k.astype(jnp.int32), block_table.astype(jnp.int32),
-      sink_arr, desc, q4, *([k_cache] * pp), *([v_cache] * pp))
+      sink_arr, desc, q4, *([k_cache] * pp),
+      *([k_cache if fused else v_cache] * pp))
     return out.reshape(b_, hq, dv), lse4.reshape(b_, hq).T
 
 
@@ -612,7 +642,7 @@ def _prefill_kernel(
             q, k, (((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * spec["scale"]
         if spec["softcap"]:
-            s = spec["softcap"] * jnp.tanh(s / spec["softcap"])
+            s = spec["softcap_mult"] * jnp.tanh(s / spec["softcap"])
         if masked:
             kpos = jt * bkv + jax.lax.broadcasted_iota(
                 jnp.int32, (g, bq, bkv), 2)
@@ -659,8 +689,9 @@ def _prefill_kernel(
     cur = jnp.max(s, axis=-1, keepdims=True)                 # [g, bq, 1]
     m_old = m_ref[...]
     m_new = jnp.maximum(jnp.maximum(cur, m_old), _NEG)
-    alpha = jnp.exp(m_old - m_new)
-    pmat = jnp.exp(s - m_new)
+    ex = jnp.exp2 if spec["exp2"] else jnp.exp
+    alpha = ex(m_old - m_new)
+    pmat = ex(s - m_new)
     l_ref[...] = (l_ref[...] * alpha
                   + jnp.sum(pmat, axis=-1, keepdims=True))
     pv = jax.lax.dot_general(
@@ -677,12 +708,13 @@ def _prefill_kernel(
         if spec["has_sink"]:
             sv = sink_ref[0]                                 # [g, 1]
             m_f = jnp.maximum(m, sv[:, None, :])
-            corr = jnp.exp(m - m_f)
-            l = l * corr + jnp.exp(sv[:, None, :] - m_f)
+            corr = ex(m - m_f)
+            l = l * corr + ex(sv[:, None, :] - m_f)
             acc = acc * corr
             m = m_f
         o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-        lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
+        lse_ref[0] = (m * spec["m2ln"]
+                      + jnp.log(jnp.maximum(l, 1e-30)))
 
 
 def chunk_prefill(
@@ -704,7 +736,10 @@ def chunk_prefill(
     k_descale, v_descale,
     block_q: int = 256,
 ):
-    """-> (out [total_q, Hq, Dv], lse [Hq, total_q])."""
+    """-> (out [total_q, Hq, Dv], lse [Hq, total_q]).
+
+    ``v=None`` (paged only) selects the fused page layout: ``k`` is
+    [nb, Hkv, bs, Dk+Dv], read as two last-dim blocks (Dk == Dv)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -712,9 +747,14 @@ def chunk_prefill(
 
     total_q, hq, d = q.shape
     paged = block_table is not None
+    fused = v is None
+    assert not fused or paged, "fused KV layout is a paged-cache layout"
     if paged:
         nb, hkv, bs, _ = k.shape
-        dv = v.shape[-1]
+        dv = (k.shape[-1] - d) if fused else v.shape[-1]
+        if fused:
+            assert d == dv, ("the prefill kernel reads a fused cache as "
+                             "two equal last-dim blocks; Dk must equal Dv")
         bkv = bs
         kv_limit = min(max_seqlen_k, nb * bs)
     else:
@@ -753,8 +793,7 @@ def chunk_prefill(
         vpad = attn_ops._gather_padded_kv_packed(
             v, cu_seqlens_k, batch, kp).transpose(0, 2, 1, 3)
 
-    sink_arr = (jnp.zeros((hkv, g, 1), jnp.float32) if sink is None
-                else sink.astype(jnp.float32).reshape(hkv, g, 1))
+    exp_spec, sink_arr = _exp_consts(scale, softcap, sink, hkv, g)
     desc = jnp.stack([
         jnp.asarray(1.0 if k_descale is None else k_descale,
                     jnp.float32).reshape(()),
@@ -762,11 +801,12 @@ def chunk_prefill(
                     jnp.float32).reshape(()),
     ]).reshape(1, 2)
     spec = dict(
-        bq=bq, bkv=bkv, g=g, pages=pages, scale=float(scale),
-        causal=bool(causal), softcap=float(softcap or 0.0),
+        bq=bq, bkv=bkv, g=g, pages=pages,
+        causal=bool(causal),
         window_left=int(window[0]), window_right=int(window[1]),
         has_sink=sink is not None,
         fp8_kv=(k.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)),
+        **exp_spec,
     )
 
     def q_map(b, h, iq, jk, *_):
@@ -782,22 +822,25 @@ def chunk_prefill(
             last = jnp.clip(frontier // bkv, 0, last)
         return last
 
-    def kv_map_p(p, paged_map):
+    def kv_map_p(p, paged_map, vblk=0):
+        # ``vblk``: last-dim block index — fused caches read V as block 1
+        # of the [.., Dk+Dv] page.
         def kv_map(b, h, iq, jk, q_lens, kv_lens, tbl):
             last = last_tile(b, iq, q_lens, kv_lens)
             jmax = jnp.maximum((last - p) // pages, 0)
             jc = jnp.where(p <= last,
                            p + pages * jnp.minimum(jk, jmax), last)
             if paged_map:
-                return (tbl[b, jc], h, 0, 0)
-            return (b, h, jc, 0)
+                return (tbl[b, jc], h, 0, vblk)
+            return (b, h, jc, vblk)
         return kv_map
 
     k_specs = [pl.BlockSpec((1, 1, bkv, d), kv_map_p(p, paged))
                for p in range(pages)]
-    v_specs = [pl.BlockSpec((1, 1, bkv, dv), kv_map_p(p, paged))
+    v_specs = [pl.BlockSpec((1, 1, bkv, dv),
+                            kv_map_p(p, paged, vblk=1 if fused else 0))
                for p in range(pages)]
-    k_in, v_in = (k, v) if paged else (kpad, vpad)
+    k_in, v_in = (k, k if fused else v) if paged else (kpad, vpad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

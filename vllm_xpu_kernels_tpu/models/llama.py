@@ -48,6 +48,9 @@ class LlamaConfig:
     block_size: int = 128        # KV page size (TPU tiling-friendly)
     qkv_bias: bool = False       # Qwen2-style bias on the qkv projection
     qk_norm: bool = False        # Qwen3-style per-head RMSNorm on q/k
+    kv_fused: bool = True        # fused [nb, Hkv, bs, 2*D] KV pages: one
+    # DMA per page in decode, one row-scatter per cache write (needs
+    # head_dim % 128 == 0; init_kv_cache falls back to split otherwise)
 
     @property
     def jdtype(self):
@@ -247,8 +250,18 @@ def init_kv_cache(cfg: LlamaConfig, num_blocks: int, kv_dtype=None):
     """Paged KV cache: per-layer lists of [nb, Hkv, bs, D] buffers (TPU-
     native page layout, kernels/flash_attention.py).  Separate buffers per
     layer — a stacked [L, ...] cache forces XLA to copy each layer's slice
-    for every Pallas operand and scatter (measured ~45 ms/step on 8B)."""
+    for every Pallas operand and scatter (measured ~45 ms/step on 8B).
+
+    With ``cfg.kv_fused`` (and lane-aligned head_dim) K and V share one
+    [nb, Hkv, bs, 2*D] buffer per layer — one DMA per page in the decode
+    kernel, one row-scatter per cache write — and the returned v list is
+    all-None (the layer code detects the layout from that)."""
     kv_dtype = kv_dtype or cfg.jdtype
+    if cfg.kv_fused and cfg.head_dim % 128 == 0:
+        shape = (num_blocks, cfg.num_kv_heads, cfg.block_size,
+                 2 * cfg.head_dim)
+        kvs = [jnp.zeros(shape, kv_dtype) for _ in range(cfg.num_layers)]
+        return kvs, [None] * cfg.num_layers
     shape = (num_blocks, cfg.num_kv_heads, cfg.block_size, cfg.head_dim)
     ks = [jnp.zeros(shape, kv_dtype) for _ in range(cfg.num_layers)]
     vs = [jnp.zeros(shape, kv_dtype) for _ in range(cfg.num_layers)]
@@ -383,24 +396,36 @@ def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
         v = qkv[:, (hq + hkv) * d:]
         q, k = ops.rotary_embedding(positions, q, k, d, rope, is_neox=True)
     fp8kv = kc_l.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
+    fused = vc_l is None        # fused [nb, Hkv, bs, 2*D] page layout
+    kv_dt = "fp8" if fp8kv else "auto"
     if fresh_prefill:
         # fresh full prefill: page-granular writes (see
         # ops.reshape_and_cache_tpu_prefill for the safety argument)
-        kc_l, vc_l = ops.reshape_and_cache_tpu_prefill(
-            k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l, vc_l,
-            block_table, cu_q, max_q,
-            kv_cache_dtype="fp8" if fp8kv else "auto",
+        if fused:
+            kc_l = ops.reshape_and_cache_tpu_prefill_fused(
+                k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l,
+                block_table, cu_q, max_q, kv_cache_dtype=kv_dt,
+                k_scale=k_scale, v_scale=v_scale)
+        else:
+            kc_l, vc_l = ops.reshape_and_cache_tpu_prefill(
+                k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l, vc_l,
+                block_table, cu_q, max_q, kv_cache_dtype=kv_dt,
+                k_scale=k_scale, v_scale=v_scale)
+    elif fused:
+        kc_l = ops.reshape_and_cache_tpu_fused(
+            k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l,
+            slot_mapping, kv_cache_dtype=kv_dt,
             k_scale=k_scale, v_scale=v_scale)
     else:
         kc_l, vc_l = ops.reshape_and_cache_tpu(
             k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l, vc_l,
-            slot_mapping,
-            kv_cache_dtype="fp8" if fp8kv else "auto",
+            slot_mapping, kv_cache_dtype=kv_dt,
             k_scale=k_scale, v_scale=v_scale)
     attn = ops.flash_attn_varlen_func(
-        q.reshape(t, hq, d), kc_l, vc_l, max_q, cu_q, max_k,
+        q.reshape(t, hq, d), kc_l, None if fused else vc_l,
+        max_q, cu_q, max_k,
         seqused_k=kv_lens, block_table=block_table, causal=True,
-        kv_layout="bhsd",
+        kv_layout="fused" if fused else "bhsd",
         k_descale=k_scale, v_descale=v_scale)
     out = _linear(attn.reshape(t, hq * d), lp["wo"], tp_axis,
                   reduce_out=True,

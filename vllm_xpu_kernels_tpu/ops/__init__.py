@@ -46,7 +46,9 @@ from vllm_xpu_kernels_tpu.ops.cache import (  # noqa: F401
     reshape_and_cache,
     reshape_and_cache_flash,
     reshape_and_cache_tpu,
+    reshape_and_cache_tpu_fused,
     reshape_and_cache_tpu_prefill,
+    reshape_and_cache_tpu_prefill_fused,
     concat_and_cache_mla,
     gather_cache,
     gather_and_maybe_dequant_cache,

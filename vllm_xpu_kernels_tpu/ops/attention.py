@@ -250,12 +250,20 @@ def flash_attn_varlen_func(
 
     ``max_seqlen_q``/``max_seqlen_k`` are static ints (jit specialization
     keys).  Returns out [total_q, Hq, Dv] (+ lse [Hq, total_q]).
+
+    ``kv_layout``: "bshd" (reference flash layout [nb, bs, Hkv, D]),
+    "bhsd" (TPU-native page layout [nb, Hkv, bs, D]), or "fused"
+    (TPU-native fused pages [nb, Hkv, bs, Dk+Dv] — pass ``v=None``; one
+    DMA per page in the decode kernel).
     """
     assert (cu_seqlens_k is None) != (seqused_k is None), (
         "provide exactly one of cu_seqlens_k / seqused_k")
     if block_table is not None:
         assert seqused_k is not None, "paged KV requires seqused_k"
     paged = block_table is not None
+    if kv_layout == "fused":
+        assert paged and v is None, (
+            "kv_layout='fused' takes the fused paged cache as k (v=None)")
     if softmax_scale is None:
         softmax_scale = q.shape[-1] ** -0.5
     window = (-1, -1) if window_size is None else tuple(window_size)
@@ -265,7 +273,8 @@ def flash_attn_varlen_func(
         from vllm_xpu_kernels_tpu.kernels import flash_attention as fa
 
         in_dtype = q.dtype
-        q, k, v = mosaic_safe(q), mosaic_safe(k), mosaic_safe(v)
+        q, k = mosaic_safe(q), mosaic_safe(k)
+        v = mosaic_safe(v) if v is not None else None
         if paged and kv_layout == "bshd":
             # The Pallas kernels consume the TPU-native page layout
             # [nb, Hkv, bs, D] (exact Mosaic tiles, one DMA per (head,
@@ -297,6 +306,10 @@ def flash_attn_varlen_func(
         return out
 
     # ---- jnp reference path --------------------------------------------
+    if paged and kv_layout == "fused":
+        d = q.shape[-1]
+        k, v = k[..., :d], k[..., d:]
+        kv_layout = "bhsd"
     if paged and kv_layout == "bhsd":
         k = k.transpose(0, 2, 1, 3)   # -> bshd for the padded gather
         v = v.transpose(0, 2, 1, 3)

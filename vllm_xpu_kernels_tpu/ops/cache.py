@@ -134,6 +134,38 @@ def reshape_and_cache_tpu(
             flat_v.reshape(value_cache.shape))
 
 
+@register_op("reshape_and_cache_tpu_fused", "cache")
+def reshape_and_cache_tpu_fused(
+    key: jax.Array,              # [T, H, hs_k]
+    value: jax.Array,            # [T, H, hs_v]
+    kv_cache: jax.Array,         # [nb, H, bs, hs_k + hs_v]
+    slot_mapping: jax.Array,
+    kv_cache_dtype: str = "auto",
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+):
+    """Scatter K|V tokens into the FUSED page layout
+    ``[num_blocks, H, block_size, hs_k + hs_v]`` (K in ``[..., :hs_k]``).
+    One page is one DMA in the decode kernel
+    (kernels/flash_attention.py), and the token write is ONE row scatter
+    instead of the split layout's two.  Returns kv_cache."""
+    nb, h, bs, hs = kv_cache.shape
+    hs_k = key.shape[-1]
+    idx = _slots(slot_mapping, nb * bs)
+    block = idx // bs
+    off = idx % bs
+    rows = (block[:, None] * (h * bs) + jnp.arange(h)[None, :] * bs
+            + off[:, None])                                   # [T, H]
+    rows = jnp.where((idx < nb * bs)[:, None], rows, nb * h * bs)
+    kq = _maybe_quant(key, kv_cache_dtype, k_scale).astype(kv_cache.dtype)
+    vq = _maybe_quant(value, kv_cache_dtype, v_scale).astype(kv_cache.dtype)
+    assert hs_k + vq.shape[-1] == hs
+    kv = jnp.concatenate([kq, vq], axis=-1)                   # [T, H, hs]
+    flat = kv_cache.reshape(nb * h * bs, hs)
+    flat = flat.at[rows].set(kv, mode="drop", unique_indices=True)
+    return flat.reshape(kv_cache.shape)
+
+
 @register_op("reshape_and_cache_tpu_prefill", "cache")
 def reshape_and_cache_tpu_prefill(
     key: jax.Array,              # [T, H, hs] packed varlen
@@ -185,6 +217,42 @@ def reshape_and_cache_tpu_prefill(
     vc = value_cache.at[idx].set(pages(vq, hs_v), mode="drop",
                                  unique_indices=True)
     return kc, vc
+
+
+@register_op("reshape_and_cache_tpu_prefill_fused", "cache")
+def reshape_and_cache_tpu_prefill_fused(
+    key: jax.Array,              # [T, H, hs_k] packed varlen
+    value: jax.Array,            # [T, H, hs_v]
+    kv_cache: jax.Array,         # [nb, H, bs, hs_k + hs_v]
+    block_table: jax.Array,
+    cu_seqlens_q: jax.Array,
+    max_seqlen_q: int,
+    kv_cache_dtype: str = "auto",
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+):
+    """Page-granular FRESH-prefill write into the fused page layout
+    (see ``reshape_and_cache_tpu_prefill`` for the safety contract and
+    ``reshape_and_cache_tpu_fused`` for the layout).  Returns kv_cache."""
+    from vllm_xpu_kernels_tpu.ops import attention as attn_ops
+
+    nb, h, bs, hs = kv_cache.shape
+    b = int(cu_seqlens_q.shape[0]) - 1
+    mb = -(-max_seqlen_q // bs)
+    qp = mb * bs
+    kq = _maybe_quant(key, kv_cache_dtype, k_scale).astype(kv_cache.dtype)
+    vq = _maybe_quant(value, kv_cache_dtype, v_scale).astype(kv_cache.dtype)
+    kv = jnp.concatenate([kq, vq], axis=-1)                   # [T, H, hs]
+    kvp, _, _ = attn_ops._gather_padded_q(kv, cu_seqlens_q, b, qp)
+    pages = kvp.reshape(b, mb, bs, h, hs).transpose(
+        0, 1, 3, 2, 4).reshape(b * mb, h, bs, hs)
+
+    q_lens = (cu_seqlens_q[1:] - cu_seqlens_q[:-1]).astype(jnp.int32)
+    blocks = block_table[:, :mb].astype(jnp.int32).reshape(-1)
+    written = (jnp.arange(mb, dtype=jnp.int32)[None, :] * bs
+               < q_lens[:, None]).reshape(-1)
+    idx = jnp.where(written, blocks, nb)
+    return kv_cache.at[idx].set(pages, mode="drop", unique_indices=True)
 
 
 @register_op("reshape_and_cache", "cache")
