@@ -4,6 +4,8 @@ conv/ssm state carry, the gated full-attention KV path, and the MoE MLP
 together (reference's gdn_attention op contract:
 csrc/xpu/gdn_attn/gdn_attn_interface.cpp:16-505)."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -27,13 +29,13 @@ CFG = Q.Qwen3NextConfig(
     shared_intermediate_size=96)
 
 
-def _prefill(params, prompts, mgr, state):
+def _prefill(params, prompts, mgr, state, cfg=CFG):
     (seq_ids, token_ids, positions, cu_q, slots, tbl, kv_lens,
      max_q, max_k) = build_prefill_batch(mgr, prompts)
     max_q = -(-max_q // 8) * 8
     kc, vc, conv, ssm = state
     logits, kc, vc, conv, ssm = Q.prefill_step(
-        CFG, params, jnp.asarray(token_ids), jnp.asarray(positions),
+        cfg, params, jnp.asarray(token_ids), jnp.asarray(positions),
         jnp.asarray(cu_q), jnp.asarray(slots), jnp.asarray(tbl),
         jnp.asarray(kv_lens), jnp.asarray(np.asarray(seq_ids, np.int32)),
         kc, vc, conv, ssm,
@@ -48,17 +50,23 @@ def test_hybrid_layer_structure():
     assert "wqkvg" in p["layers"][1] and "in_qkvz" in p["layers"][0]
 
 
-def test_incremental_decode_matches_teacher_forcing():
-    params = Q.init_params(CFG, jax.random.PRNGKey(1))
+@pytest.mark.parametrize("head_dim", [32, 128])
+def test_incremental_decode_matches_teacher_forcing(head_dim):
+    # head_dim=128 takes the fused [nb, Hkv, bs, 2*D] KV-page layout in
+    # the gated full-attention layers; 32 takes the split pair
+    cfg = dataclasses.replace(CFG, head_dim=head_dim)
+    params = Q.init_params(cfg, jax.random.PRNGKey(1))
     rng = np.random.default_rng(0)
     prompt_lens = [9, 21]
-    prompts = {i: rng.integers(0, CFG.vocab_size, n).astype(np.int64)
+    prompts = {i: rng.integers(0, cfg.vocab_size, n).astype(np.int64)
                for i, n in enumerate(prompt_lens)}
     n_steps = 4
 
-    mgr = BlockManager(64, CFG.block_size)
-    state = Q.init_state(CFG, 64, num_state_slots=8)
-    seq_ids, last, state = _prefill(params, prompts, mgr, state)
+    mgr = BlockManager(64, cfg.block_size)
+    state = Q.init_state(cfg, 64, num_state_slots=8)
+    if head_dim == 128:
+        assert state[1][0] is None, "expected fused KV pages"
+    seq_ids, last, state = _prefill(params, prompts, mgr, state, cfg)
     next_tok = last.argmax(-1).astype(np.int64)
     gen = {i: [int(next_tok[i])] for i in seq_ids}
 
@@ -66,7 +74,7 @@ def test_incremental_decode_matches_teacher_forcing():
         batch = build_decode_batch(mgr, seq_ids, next_tok, max_blocks=4)
         kc, vc, conv, ssm = state
         logits, kc, vc, conv, ssm = Q.decode_step(
-            CFG, params, jnp.asarray(batch.token_ids),
+            cfg, params, jnp.asarray(batch.token_ids),
             jnp.asarray(batch.positions), jnp.asarray(batch.slot_mapping),
             jnp.asarray(batch.block_table), jnp.asarray(batch.kv_lens),
             jnp.asarray(np.asarray(seq_ids, np.int32)),
@@ -80,9 +88,9 @@ def test_incremental_decode_matches_teacher_forcing():
     for step in range(n_steps):
         seqs = {i: np.concatenate([prompts[i], gen[i][:step + 1]])
                 for i in seq_ids}
-        mgr2 = BlockManager(64, CFG.block_size)
-        state2 = Q.init_state(CFG, 64, num_state_slots=8)
-        _, last2, _ = _prefill(params, seqs, mgr2, state2)
+        mgr2 = BlockManager(64, cfg.block_size)
+        state2 = Q.init_state(cfg, 64, num_state_slots=8)
+        _, last2, _ = _prefill(params, seqs, mgr2, state2, cfg)
         want = last2.argmax(-1)
         got = np.asarray([gen[i][step + 1] for i in seq_ids])
         np.testing.assert_array_equal(got, want,

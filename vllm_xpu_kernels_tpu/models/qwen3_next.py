@@ -147,9 +147,18 @@ def init_state(cfg: Qwen3NextConfig, num_blocks: int, num_state_slots: int,
     """-> (k_caches, v_caches, conv_states, ssm_states): paged KV per
     full-attn layer, recurrent state slots per GDN layer."""
     kv_dtype = kv_dtype or cfg.jdtype
-    shape = (num_blocks, cfg.num_kv_heads, cfg.block_size, cfg.head_dim)
-    kc = [jnp.zeros(shape, kv_dtype) for _ in range(cfg.num_attn_layers)]
-    vc = [jnp.zeros(shape, kv_dtype) for _ in range(cfg.num_attn_layers)]
+    if cfg.kv_fused and cfg.head_dim % 128 == 0:
+        # fused K|V pages (one DMA per page in decode; models/llama.py)
+        shape = (num_blocks, cfg.num_kv_heads, cfg.block_size,
+                 2 * cfg.head_dim)
+        kc = [jnp.zeros(shape, kv_dtype) for _ in range(cfg.num_attn_layers)]
+        vc = [None] * cfg.num_attn_layers
+    else:
+        shape = (num_blocks, cfg.num_kv_heads, cfg.block_size, cfg.head_dim)
+        kc = [jnp.zeros(shape, kv_dtype)
+              for _ in range(cfg.num_attn_layers)]
+        vc = [jnp.zeros(shape, kv_dtype)
+              for _ in range(cfg.num_attn_layers)]
     conv = [jnp.zeros((num_state_slots, cfg.conv_kernel - 1, cfg.conv_dim),
                       jnp.float32) for _ in range(cfg.num_gdn_layers)]
     ssm = [jnp.zeros((num_state_slots, cfg.linear_num_v_heads,
@@ -194,14 +203,20 @@ def _gated_attention_block(cfg, lp, x, positions, rope, kc_l, vc_l,
     q = qkv[:, : hq * d]
     k = qkv[:, hq * d: (hq + hkv) * d]
     v = qkv[:, (hq + hkv) * d:]
-    kc_l, vc_l = ops.reshape_and_cache_tpu(
-        k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l, vc_l,
-        slot_mapping, kv_cache_dtype="auto")
+    fused = vc_l is None
+    if fused:
+        kc_l = ops.reshape_and_cache_tpu_fused(
+            k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l,
+            slot_mapping, kv_cache_dtype="auto")
+    else:
+        kc_l, vc_l = ops.reshape_and_cache_tpu(
+            k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l, vc_l,
+            slot_mapping, kv_cache_dtype="auto")
     attn = ops.flash_attn_varlen_func(
         q.reshape(t, hq, d), kc_l, vc_l,
         max_seqlen_q=max_q, cu_seqlens_q=cu_q, max_seqlen_k=max_k,
         seqused_k=kv_lens, block_table=block_table, causal=True,
-        kv_layout="bhsd")
+        kv_layout="fused" if fused else "bhsd")
     attn = attn.reshape(t, hq * d)
     attn = attn * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(attn.dtype)
     return (L._linear(attn, lp["wo"], tp_axis, reduce_out=True),
