@@ -222,3 +222,24 @@ def test_qwen_save_load_roundtrip(tmp_path, variant):
             lp.pop("qnorm"), lp.pop("knorm")
     assert not np.allclose(_decode_logits(cfg2, loaded),
                            _decode_logits(cfg2, ablated))
+
+
+@pytest.mark.parametrize("quant", ["w8a8", "mxfp4"])
+def test_quantize_params_in_memory(quant):
+    """models.llama.quantize_params (in-memory quantize of a bf16 tree,
+    the benchmark/benchmark_ppl.py path) == quantize-on-load: close
+    logits and identical tree structure."""
+    import dataclasses
+    from vllm_xpu_kernels_tpu.models.llama import quantize_params
+
+    cfg_f = _tiny_cfg("none")
+    params_f = init_params(cfg_f, jax.random.PRNGKey(2))
+    cfg_q = dataclasses.replace(cfg_f, quant=quant)
+    params_q = quantize_params(cfg_q, params_f)
+    ref_q = init_params(cfg_q, jax.random.PRNGKey(2))
+    assert (jax.tree_util.tree_structure(params_q)
+            == jax.tree_util.tree_structure(ref_q))
+    lq = _decode_logits(cfg_q, params_q)
+    lf = _decode_logits(cfg_f, params_f)
+    tol = 0.35 if quant == "mxfp4" else 0.1
+    np.testing.assert_allclose(lq, lf, rtol=tol, atol=tol)

@@ -246,6 +246,30 @@ def init_params(cfg: LlamaConfig, key=None):
     return params
 
 
+def quantize_params(cfg_q: LlamaConfig, params):
+    """bf16 parameter tree (quant='none') -> tree quantized per
+    ``cfg_q.quant``, SAME underlying weights (quantize-on-load applied to
+    an in-memory tree).  Isolates quantization error for numerics
+    studies (benchmark/benchmark_ppl.py)."""
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = []
+    for lp in params["layers"]:
+        nlp = dict(lp)
+        for name in ("wqkv", "wo", "wgu", "wd"):
+            if name in lp:
+                q = quantize_linear(
+                    lp[name]["w"].astype(jnp.float32), cfg_q.quant,
+                    cfg_q.jdtype)
+                if "b" in lp[name]:
+                    q["b"] = lp[name]["b"]
+                nlp[name] = q
+        out["layers"].append(nlp)
+    if cfg_q.quant == "w8a8" and "lm_head_q" not in out:
+        out["lm_head_q"] = quantize_linear(
+            params["embed"].astype(jnp.float32).T, "w8a8")
+    return out
+
+
 def init_kv_cache(cfg: LlamaConfig, num_blocks: int, kv_dtype=None):
     """Paged KV cache: per-layer lists of [nb, Hkv, bs, D] buffers (TPU-
     native page layout, kernels/flash_attention.py).  Separate buffers per
