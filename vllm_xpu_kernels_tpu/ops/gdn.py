@@ -167,6 +167,12 @@ def gdn_attention(
       S ← g·S;  Δ = (v − S·k)·β;  S ← S + Δ⊗k;  o = S·q
     """
     t_total = projected_states_qkvz.shape[0]
+    if algorithm == "chunk" and max_seqlen * 4 <= chunk_size:
+        # decode / small spec-decode batches: the chunked path pads T up
+        # to a whole chunk (a CxC triangular solve per head for a single
+        # token at max_seqlen=1); the recurrent scan does exactly
+        # max_seqlen steps of rank-1 updates — far cheaper
+        algorithm = "scan"
     nk, nv, hk, hv = num_k_heads, num_v_heads, head_k_dim, head_v_dim
     rep = nv // nk
     batch = int(query_start_loc.shape[0]) - 1
