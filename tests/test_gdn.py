@@ -83,7 +83,7 @@ def np_gdn_golden(qkvz, ba, conv_state, ssm_state, conv_w, conv_b,
     ([7], [False]),                  # pure prefill
     ([2, 2, 2], [True, True, False]),  # spec-decode style drafts
 ])
-def test_gdn_attention(seq_lens, has_init):
+def test_gdn_attention(seq_lens, has_init, impl):
     nk, nv, hk, hv, w = 2, 4, 16, 32, 4
     rep = nv // nk
     c = nk * (2 * hk + rep * hv)
@@ -136,7 +136,7 @@ def test_gdn_attention(seq_lens, has_init):
     ([64], 64),           # exact chunk
     ([5, 3], 4),          # tiny chunks
 ])
-def test_gdn_chunked_matches_scan(seq_lens, chunk):
+def test_gdn_chunked_matches_scan(seq_lens, chunk, impl):
     """Chunked (WY-transform) delta rule == token scan."""
     nk, nv, hk, hv, w = 2, 4, 16, 32, 4
     rep = nv // nk

@@ -92,6 +92,14 @@ def _chunked_delta_rule(q, k, v, beta, g, s0, chunk=64):
     ``chunk`` with masked tail tokens given beta=0, g=1.
     Returns (o [B, T, NV, Hv], s_final).
     """
+    from vllm_xpu_kernels_tpu.registry import use_pallas
+
+    if use_pallas():
+        from vllm_xpu_kernels_tpu.kernels.gdn import (
+            chunked_delta_rule_pallas)
+
+        return chunked_delta_rule_pallas(q, k, v, beta, g, s0, chunk=chunk)
+
     b, t, nv, hk = k.shape
     hv = v.shape[-1]
     c = chunk
