@@ -224,7 +224,7 @@ def test_qwen_save_load_roundtrip(tmp_path, variant):
                            _decode_logits(cfg2, ablated))
 
 
-@pytest.mark.parametrize("quant", ["w8a8", "mxfp4"])
+@pytest.mark.parametrize("quant", ["w8a8", "w4a8", "mxfp4"])
 def test_quantize_params_in_memory(quant):
     """models.llama.quantize_params (in-memory quantize of a bf16 tree,
     the benchmark/benchmark_ppl.py path) == quantize-on-load: close
@@ -241,5 +241,5 @@ def test_quantize_params_in_memory(quant):
             == jax.tree_util.tree_structure(ref_q))
     lq = _decode_logits(cfg_q, params_q)
     lf = _decode_logits(cfg_f, params_f)
-    tol = 0.35 if quant == "mxfp4" else 0.1
+    tol = 0.35 if quant in ("mxfp4", "w4a8") else 0.1
     np.testing.assert_allclose(lq, lf, rtol=tol, atol=tol)

@@ -165,7 +165,7 @@ def test_mixtral_decode_and_ep():
                     rtol=3e-2, atol=3e-1)
 
 
-@pytest.mark.parametrize("quant", ["fp8", "int8", "w8a8", "mxfp4"])
+@pytest.mark.parametrize("quant", ["fp8", "int8", "w8a8", "w4a8", "mxfp4"])
 def test_quantized_model_decode(quant, impl):
     """Every weight recipe runs the decode step with finite logits close
     to the unquantized model (Qwen2-style MXFP4 path included)."""

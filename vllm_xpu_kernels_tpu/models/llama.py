@@ -44,7 +44,7 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     max_position: int = 8192
     dtype: str = "bfloat16"
-    quant: str = "none"   # none | fp8 | int8 | mxfp4 (weight-only) | w8a8
+    quant: str = "none"   # none | fp8 | int8 | mxfp4 (weight-only) | w8a8 | w4a8
     block_size: int = 128        # KV page size (TPU tiling-friendly)
     qkv_bias: bool = False       # Qwen2-style bias on the qkv projection
     qk_norm: bool = False        # Qwen3-style per-head RMSNorm on q/k
@@ -101,6 +101,22 @@ def quantize_linear(w, quant, dtype=jnp.bfloat16):
         s = (absmax / 127.0).astype(jnp.float32)
         q = jnp.clip(jnp.round(w / s[None, :]), -127, 127).astype(jnp.int8)
         return {"w": q, ("s8" if quant == "w8a8" else "s"): s}
+    if quant == "w4a8":
+        # symmetric int4 weights (split-K packed) + per-group scales;
+        # activations are dynamically per-token int8-quantized at runtime
+        # (reference role: int4_gemm_w4a8.h) — HALVES the decode weight
+        # stream vs w8a8 at the cost of an in-kernel int4 unpack
+        g = 128
+        while fan_in % g:
+            g //= 2
+        wg = w.reshape(fan_in // g, g, fan_out)
+        s = (jnp.max(jnp.abs(wg), axis=1) / 7.0 + 1e-10).astype(jnp.float32)
+        codes = jnp.clip(jnp.round(wg / s[:, None, :]), -8, 7) + 8
+        lo = codes[:, : g // 2]
+        hi = codes[:, g // 2:]
+        packed = (lo.astype(jnp.uint8) | (hi.astype(jnp.uint8) << 4)
+                  ).reshape(fan_in // 2, fan_out).astype(jnp.int8)
+        return {"w": packed, "s4": s}
     if quant == "mxfp4":
         # MX FP4: e2m1 codes + per-32-group power-of-two scales, split-K
         # packed for the fused dequant-matmul kernel (w4a16 path).
@@ -148,6 +164,16 @@ def _linear(x, p, tp_axis=None, reduce_out=False, lora=None, a_q=None,
         out = ops.int8_gemm_w8a8(q, p["w"], A_scale=a_s, B_scale=p["s8"],
                                  out_dtype=(x.dtype if x is not None
                                             else out_dtype))
+    elif "s4" in p:
+        # w4a8: int4 split-K weights + dynamic per-token int8 activations
+        if a_q is not None:
+            q, a_s = a_q
+        else:
+            q, a_s = ops.dynamic_per_token_scaled_int8_quant(x)
+        g = p["w"].shape[0] * 2 // p["s4"].shape[0]
+        out = ops.int4_gemm_w4a8(
+            q, a_s, None, p["w"], p["s4"], None, g,
+            out_dtype=(x.dtype if x is not None else out_dtype))
     elif "s" in p and p["s"].ndim == 2:
         # mxfp4: split-K packed e2m1 + per-32-group pow2 scales
         out = _mx_linear(x, p["w"], p["s"])
@@ -237,7 +263,7 @@ def init_params(cfg: LlamaConfig, key=None):
         "final_ln": jnp.ones((e,), cfg.jdtype),
         "rope": _rope_cache(cfg),
     }
-    if cfg.quant == "w8a8":
+    if cfg.quant in ("w8a8", "w4a8"):
         # per-vocab-channel int8 logits head: halves the largest single
         # weight read of the decode step (vocab*E bf16); the bf16 embed
         # stays for token-row lookups.
@@ -264,7 +290,7 @@ def quantize_params(cfg_q: LlamaConfig, params):
                     q["b"] = lp[name]["b"]
                 nlp[name] = q
         out["layers"].append(nlp)
-    if cfg_q.quant == "w8a8" and "lm_head_q" not in out:
+    if cfg_q.quant in ("w8a8", "w4a8") and "lm_head_q" not in out:
         out["lm_head_q"] = quantize_linear(
             params["embed"].astype(jnp.float32).T, "w8a8")
     return out
@@ -309,6 +335,9 @@ def param_tp_specs(cfg: LlamaConfig, tp_axis: str = "tp",
     elif cfg.quant == "mxfp4":
         col = {"w": P(None, tp_axis), "s": P(None, tp_axis)}
         row = {"w": P(tp_axis, None), "s": P(tp_axis, None)}
+    elif cfg.quant == "w4a8":
+        col = {"w": P(None, tp_axis), "s4": P(None, tp_axis)}
+        row = {"w": P(tp_axis, None), "s4": P(tp_axis, None)}
     layer = {
         "ln1": P(), "ln2": P(),
         "wqkv": dict(col),
@@ -329,7 +358,7 @@ def param_tp_specs(cfg: LlamaConfig, tp_axis: str = "tp",
     }
     if untied_head:
         tree["lm_head"] = P()
-    if cfg.quant == "w8a8":
+    if cfg.quant in ("w8a8", "w4a8"):
         tree["lm_head_q"] = {"w": P(), "s8": P()}
     return tree
 
@@ -361,7 +390,7 @@ def params_for_tp(params, cfg: LlamaConfig, tp: int):
 
     def apply(p, perm):
         out = {"w": p["w"][:, perm]}
-        for sk in ("s", "s8"):
+        for sk in ("s", "s8", "s4"):
             if sk in p:
                 # 1-D per-channel scales [N] or 2-D group scales [K/g, N]:
                 # the permutation is over output columns either way
@@ -461,7 +490,7 @@ def _mlp_block(cfg, lp, x, tp_axis, lora_layer=None, lora_idx=None,
                a_q=None):
     gu = _linear(x, lp["wgu"], a_q=a_q,
                  lora=_lora_for(lora_layer, "wgu", lora_idx))
-    if "s8" in lp["wd"] and lora_layer is None:
+    if ("s8" in lp["wd"] or "s4" in lp["wd"]) and lora_layer is None:
         dq, ds = ops.silu_and_mul_per_token_quant(gu)
         return _linear(None, lp["wd"], tp_axis, reduce_out=True,
                        a_q=(dq, ds), out_dtype=gu.dtype)
@@ -490,7 +519,8 @@ def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
         # w8a8 without LoRA: norm + per-token int8 quant fused in one
         # Pallas pass (ops.rms_norm_dynamic_per_token_quant int8 tier);
         # LoRA needs the bf16 normed activations, so it keeps the split.
-        fuse8 = "s8" in lp["wqkv"] and ll is None
+        fuse8 = (("s8" in lp["wqkv"] or "s4" in lp["wqkv"])
+                 and ll is None)
         if fuse8:
             hq8, hs8, residual = ops.rms_norm_dynamic_per_token_quant(
                 x, lp["ln1"], cfg.rms_eps, jnp.int8, residual=residual)
