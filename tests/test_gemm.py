@@ -163,8 +163,8 @@ def test_int4_gemm_w4a16(mnk, sym, act_order, impl):
 
 
 @pytest.mark.parametrize("sym", [True, False])
-def test_int4_gemm_w4a8(sym, impl):
-    m, n, k = 16, 256, 512
+def test_int4_gemm_w4a8(sym, impl, m=16):
+    n, k = 256, 512
     g = 128
     rng = np.random.default_rng(7)
     w4 = rng.integers(0, 16, (k, n), dtype=np.uint8)
@@ -300,3 +300,8 @@ def test_int4_gemm_w4a16_large_m_routing(impl):
         jnp.asarray(s), jnp.asarray(zp), g)
     assert_allclose(np.asarray(out_b, np.float32)[:8],
                     np.asarray(out_s, np.float32), rtol=2e-2, atol=2e-2)
+
+
+def test_int4_gemm_w4a8_prefill_route(impl):
+    """M >= 512 takes the dequant-once bf16-GEMM routing."""
+    test_int4_gemm_w4a8(True, impl, m=512)

@@ -385,11 +385,21 @@ def int4_gemm_w4a8(
         a2 = jnp.concatenate(
             [a2, jnp.ones((1, K), a2.dtype)], axis=0)
     if use_pallas():
-        p = qmm.quant_matmul_pallas(
-            a2, B, a_kind="int8", b_kind="int4sk",
-            b_scale=B_scale.astype(jnp.float32), b_group_k=group_size,
-            b_zp=(8.0 if B_zp is None else B_zp),
-            out_dtype=jnp.float32)
+        if M >= 512:
+            # prefill shapes: dequantize once, bf16 GEMM (the fused
+            # kernel re-decodes every weight tile per M-block); int8
+            # activations upcast losslessly to bf16
+            b16 = qmm.packed_dequant_pallas(
+                B, B_scale.astype(jnp.float32), group_size, "int4sk",
+                zp=(8.0 if B_zp is None else B_zp))
+            p = jnp.dot(a2.astype(jnp.bfloat16), b16,
+                        preferred_element_type=jnp.float32)
+        else:
+            p = qmm.quant_matmul_pallas(
+                a2, B, a_kind="int8", b_kind="int4sk",
+                b_scale=B_scale.astype(jnp.float32), b_group_k=group_size,
+                b_zp=(8.0 if B_zp is None else B_zp),
+                out_dtype=jnp.float32)
     else:
         bf = _int4_dequant_ref(B, B_scale, B_zp, group_size)
         p = jnp.dot(a2.astype(jnp.float32), bf,
