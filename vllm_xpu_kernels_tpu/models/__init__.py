@@ -14,6 +14,7 @@ from vllm_xpu_kernels_tpu.models.llama import (  # noqa: F401
     prefill_step,
 )
 from vllm_xpu_kernels_tpu.models import mixtral  # noqa: F401
+from vllm_xpu_kernels_tpu.models import gpt_oss  # noqa: F401
 from vllm_xpu_kernels_tpu.models import deepseek  # noqa: F401
 from vllm_xpu_kernels_tpu.models import qwen3_next  # noqa: F401
 from vllm_xpu_kernels_tpu.models import loader  # noqa: F401

@@ -1,0 +1,327 @@
+"""GPT-OSS-family decoder (gpt-oss-20b / gpt-oss-120b).
+
+The reference ships three kernel features specifically for this family and
+this model wires all of them end-to-end:
+
+- ``swigluoai_and_mul`` — interleaved gate/up SwiGLU with clamping
+  (csrc/activation.cpp:277-346, alpha=1.702, limit=7.0),
+- attention sinks (``s_aux`` in the flash-attention kernels,
+  csrc/xpu/attn/xe_2 chunk_prefill/paged_decode sink variants),
+- alternating sliding-window / full attention layers (the ``local``
+  kernel variants, KERNEL_CONFIGURATION.md:124-129),
+
+plus the MXFP4 MoE recipe (csrc/xpu/grouped_gemm Wmxfp4·A16 dispatch,
+grouped_gemm_xe2_interface.hpp:174-350) that the released gpt-oss
+checkpoints use for their expert weights.
+
+Architecture notes (validated against HF ``transformers`` GptOss):
+- bias on q/k/v/o projections, the router, and both expert GEMMs;
+- router: top-k over logits then softmax over the selected k (equivalent
+  to softmax -> top-k -> renormalize, which ops.topk_softmax implements);
+- experts: ``gate_up`` columns INTERLEAVED (gate = [..., 0::2]) feeding
+  swigluoai; out = (up + 1) * gate * sigmoid(1.702 * gate), both halves
+  clamped at ±7;
+- YaRN-scaled RoPE (factor 32, betas 32/1, original max 4096,
+  attention-factor 0.1·ln(s)+1 folded into cos/sin);
+- per-head learned sink logits appended to every softmax row;
+- even layers use a sliding window of ``sliding_window`` (left window
+  ``sliding_window - 1`` in flash-attn convention), odd layers are full.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vllm_xpu_kernels_tpu import ops
+from vllm_xpu_kernels_tpu.models import llama as L
+
+
+@dataclasses.dataclass(frozen=True)
+class GptOssConfig(L.LlamaConfig):
+    # gpt-oss-20b shapes by default (tests shrink them)
+    hidden_size: int = 2880
+    num_layers: int = 24
+    num_q_heads: int = 64
+    num_kv_heads: int = 8
+    head_dim: int = 64
+    intermediate_size: int = 2880
+    vocab_size: int = 201088
+    rope_theta: float = 150000.0
+    max_position: int = 131072
+    num_experts: int = 32
+    top_k: int = 4
+    sliding_window: int = 128
+    # YaRN rope scaling (HF rope_type="yarn", truncate=False); factor<=1
+    # disables scaling
+    rope_factor: float = 32.0
+    rope_beta_fast: float = 32.0
+    rope_beta_slow: float = 1.0
+    rope_orig_max_position: int = 4096
+
+    def attn_window(self, li: int):
+        # HF layer_types: "sliding_attention" when (li+1) % 2 (even li)
+        if li % 2 == 0 and self.sliding_window > 0:
+            return (self.sliding_window - 1, 0)
+        return None
+
+    def ep_slice(self, ep: int) -> "GptOssConfig":
+        assert self.num_experts % ep == 0
+        return dataclasses.replace(self, num_experts=self.num_experts // ep)
+
+
+def _rope_cache_yarn(cfg: GptOssConfig):
+    """cos||sin cache with YaRN NTK-by-parts inverse frequencies and the
+    attention factor folded in (transformers
+    modeling_rope_utils._compute_yarn_parameters, truncate=False)."""
+    dim = cfg.head_dim
+    base = cfg.rope_theta
+    s = cfg.rope_factor
+    if s is None or s <= 1.0:
+        return L._rope_cache(cfg)
+    pos_freqs = base ** (jnp.arange(0, dim, 2, jnp.float32) / dim)
+    inv_extra = 1.0 / pos_freqs
+    inv_inter = 1.0 / (s * pos_freqs)
+
+    def corr_dim(n_rot):
+        return (dim * math.log(cfg.rope_orig_max_position
+                               / (n_rot * 2 * math.pi))
+                ) / (2 * math.log(base))
+
+    low = max(corr_dim(cfg.rope_beta_fast), 0.0)
+    high = min(corr_dim(cfg.rope_beta_slow), dim - 1)
+    if low == high:
+        high += 0.001
+    ramp = jnp.clip((jnp.arange(dim // 2, dtype=jnp.float32) - low)
+                    / (high - low), 0.0, 1.0)
+    extra_f = 1.0 - ramp
+    inv = inv_inter * (1.0 - extra_f) + inv_extra * extra_f
+    mscale = 0.1 * math.log(s) + 1.0
+    t = jnp.arange(cfg.max_position, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv)
+    return jnp.concatenate(
+        [jnp.cos(freqs) * mscale, jnp.sin(freqs) * mscale], axis=-1)
+
+
+def _quantize_experts_mxfp4(w):
+    """[E, K, N] f32 -> (packed [E, K/2, N] int8 split-K, scales
+    [E, K/32, N] f32 pow2).  Same packing as L.quantize_linear('mxfp4'),
+    vectorized over experts (reference recipe: the released gpt-oss
+    checkpoints store expert weights in MXFP4)."""
+    from vllm_xpu_kernels_tpu.utils import quant_math as qm
+
+    e, k, n = w.shape
+    g = 32
+    wg = w.astype(jnp.float32).reshape(e, k // g, g, n)
+    s = qm.ue8m0_round(
+        jnp.max(jnp.abs(wg), axis=2) / qm.FP4_E2M1_MAX, 1e-10)
+    codes = qm.fp4_e2m1_encode(
+        jnp.clip(wg / s[:, :, None, :], -qm.FP4_E2M1_MAX, qm.FP4_E2M1_MAX))
+    lo = codes[:, :, : g // 2]
+    hi = codes[:, :, g // 2:]
+    packed = (lo.astype(jnp.uint8) | (hi.astype(jnp.uint8) << 4)
+              ).reshape(e, k // 2, n).astype(jnp.int8)
+    return packed, s.astype(jnp.float32)
+
+
+def _expert_params(cfg: GptOssConfig, w13, w2, b13, b2):
+    """Pack raw f32 expert stacks per cfg.quant ('none' | 'mxfp4' — the
+    released-checkpoint recipe).  Biases stay bf16-or-model-dtype."""
+    lp = {}
+    if cfg.quant == "mxfp4":
+        p13, s13 = _quantize_experts_mxfp4(w13)
+        p2, s2 = _quantize_experts_mxfp4(w2)
+        lp["w13"] = {"w": p13, "mx": s13}
+        lp["w2"] = {"w": p2, "mx": s2}
+    else:
+        lp["w13"] = {"w": w13.astype(cfg.jdtype)}
+        lp["w2"] = {"w": w2.astype(cfg.jdtype)}
+    lp["w13"]["b"] = b13.astype(jnp.float32)
+    lp["w2"]["b"] = b2.astype(jnp.float32)
+    return lp
+
+
+def init_params(cfg: GptOssConfig, key=None):
+    """Random-initialized tree: Llama attention layout + per-layer sink
+    logits, biased projections, router and biased expert stacks."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    base = L.init_params(dataclasses.replace(cfg, quant="none"), key)
+    e, i = cfg.hidden_size, cfg.intermediate_size
+    hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    keys = jax.random.split(jax.random.fold_in(key, 23), cfg.num_layers * 8)
+    for li, lp in enumerate(base["layers"]):
+        del lp["wgu"], lp["wd"]
+        ks = keys[8 * li: 8 * li + 8]
+        scale = (2.0 / (e + i)) ** 0.5
+        lp["wqkv"]["b"] = (jax.random.normal(
+            ks[0], ((hq + 2 * hkv) * d,), jnp.float32) * 0.02
+            ).astype(cfg.jdtype)
+        lp["wo"]["b"] = (jax.random.normal(ks[1], (e,), jnp.float32)
+                         * 0.02).astype(cfg.jdtype)
+        lp["sinks"] = (jax.random.normal(ks[2], (hq,), jnp.float32)
+                       * 0.5).astype(jnp.float32)
+        w13 = jax.random.normal(ks[3], (cfg.num_experts, e, 2 * i),
+                                jnp.float32) * scale
+        w2 = jax.random.normal(ks[4], (cfg.num_experts, i, e),
+                               jnp.float32) * scale
+        b13 = jax.random.normal(ks[5], (cfg.num_experts, 2 * i),
+                                jnp.float32) * 0.02
+        b2 = jax.random.normal(ks[6], (cfg.num_experts, e),
+                               jnp.float32) * 0.02
+        lp.update(_expert_params(cfg, w13, w2, b13, b2))
+        lp["router"] = (jax.random.normal(ks[7], (e, cfg.num_experts),
+                                          jnp.float32) * 0.02
+                        ).astype(cfg.jdtype)
+        lp["router_b"] = jnp.zeros((cfg.num_experts,), jnp.float32)
+    base["rope"] = _rope_cache_yarn(cfg)
+    # untied lm_head (tie_word_embeddings=False); random init ties it to
+    # embed unless a checkpoint provides one
+    base["lm_head"] = base["embed"]
+    return base
+
+
+def _moe_mlp(cfg: GptOssConfig, lp, x, tp_axis, ep_axis=None):
+    gating = (jnp.dot(x.astype(jnp.float32),
+                      lp["router"].astype(jnp.float32))
+              + lp["router_b"].astype(jnp.float32))
+    tw, ti = ops.topk_softmax(gating, cfg.top_k, renormalize=True)
+    quant = "mxfp4" if "mx" in lp["w13"] else "none"
+    kwargs = dict(
+        w13_bias=lp["w13"]["b"], w2_bias=lp["w2"]["b"],
+        activation="swigluoai")
+    if quant == "mxfp4":
+        kwargs.update(w13_scales=lp["w13"]["mx"],
+                      w2_scales=lp["w2"]["mx"], group_size=32)
+    if ep_axis is not None:
+        from vllm_xpu_kernels_tpu.parallel.moe import ep_fused_moe
+
+        return ep_fused_moe(x, lp["w13"]["w"], lp["w2"]["w"], tw, ti,
+                            ep_axis, quant=quant, **kwargs)
+    return ops.tpu_fused_moe(x, lp["w13"]["w"], lp["w2"]["w"], tw, ti,
+                             quant=quant, **kwargs)
+
+
+def decode_step(
+    cfg: GptOssConfig, params, token_ids, positions, slot_mapping,
+    block_table, kv_lens, k_cache, v_cache, max_seqlen_k: int,
+    tp_axis: Optional[str] = None, ep_axis: Optional[str] = None,
+):
+    b = token_ids.shape[0]
+    cu_q = jnp.arange(b + 1, dtype=jnp.int32)
+    return L._forward_tokens(
+        cfg, params, token_ids, positions, slot_mapping, block_table,
+        kv_lens, cu_q, 1, max_seqlen_k, k_cache, v_cache, tp_axis,
+        mlp_fn=functools.partial(_moe_mlp, ep_axis=ep_axis))
+
+
+def prefill_step(
+    cfg: GptOssConfig, params, token_ids, positions, cu_seqlens_q,
+    slot_mapping, block_table, kv_lens, k_cache, v_cache,
+    max_seqlen_q: int, max_seqlen_k: int,
+    tp_axis: Optional[str] = None, ep_axis: Optional[str] = None,
+    fresh_prefill: bool = False,
+):
+    return L._forward_tokens(
+        cfg, params, token_ids, positions, slot_mapping, block_table,
+        kv_lens, cu_seqlens_q, max_seqlen_q, max_seqlen_k,
+        k_cache, v_cache, tp_axis, fresh_prefill=fresh_prefill,
+        mlp_fn=functools.partial(_moe_mlp, ep_axis=ep_axis))
+
+
+# ---------------------------------------------------------------------------
+# HF checkpoint mapping
+# ---------------------------------------------------------------------------
+
+def params_from_hf_state(cfg: GptOssConfig, get):
+    """Build the parameter tree from an HF GptOss state dict.
+
+    ``get(name) -> np.ndarray`` — works over both an in-memory
+    ``state_dict()`` and the safetensors shard reader
+    (models/loader.py::ShardReader).  Expert tensors keep HF's fused
+    layout verbatim ([E, D, 2I] interleaved gate/up, [E, I, D]) — no
+    transpose or de-interleave needed on TPU."""
+    import numpy as np
+
+    dt = cfg.jdtype
+
+    def lin(wname, bname=None, transpose=True):
+        w = np.asarray(get(wname), np.float32)
+        p = {"w": jnp.asarray(w.T if transpose else w, dt)}
+        if bname is not None:
+            p["b"] = jnp.asarray(np.asarray(get(bname), np.float32), dt)
+        return p
+
+    layers = []
+    for li in range(cfg.num_layers):
+        pre = f"model.layers.{li}."
+        qkv_w = np.concatenate(
+            [np.asarray(get(pre + f"self_attn.{n}_proj.weight"),
+                        np.float32).T
+             for n in ("q", "k", "v")], axis=1)
+        qkv_b = np.concatenate(
+            [np.asarray(get(pre + f"self_attn.{n}_proj.bias"), np.float32)
+             for n in ("q", "k", "v")])
+        lp = {
+            "ln1": jnp.asarray(get(pre + "input_layernorm.weight"), dt),
+            "ln2": jnp.asarray(
+                get(pre + "post_attention_layernorm.weight"), dt),
+            "wqkv": {"w": jnp.asarray(qkv_w, dt),
+                     "b": jnp.asarray(qkv_b, dt)},
+            "wo": lin(pre + "self_attn.o_proj.weight",
+                      pre + "self_attn.o_proj.bias"),
+            "sinks": jnp.asarray(
+                np.asarray(get(pre + "self_attn.sinks"), np.float32)),
+            "router": jnp.asarray(
+                np.asarray(get(pre + "mlp.router.weight"), np.float32).T,
+                dt),
+            "router_b": jnp.asarray(
+                np.asarray(get(pre + "mlp.router.bias"), np.float32)),
+        }
+        w13 = np.asarray(get(pre + "mlp.experts.gate_up_proj"), np.float32)
+        w2 = np.asarray(get(pre + "mlp.experts.down_proj"), np.float32)
+        b13 = np.asarray(get(pre + "mlp.experts.gate_up_proj_bias"),
+                         np.float32)
+        b2 = np.asarray(get(pre + "mlp.experts.down_proj_bias"), np.float32)
+        lp.update(_expert_params(cfg, jnp.asarray(w13), jnp.asarray(w2),
+                                 jnp.asarray(b13), jnp.asarray(b2)))
+        layers.append(lp)
+    return {
+        "layers": layers,
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), dt),
+        "lm_head": jnp.asarray(get("lm_head.weight"), dt),
+        "final_ln": jnp.asarray(get("model.norm.weight"), dt),
+        "rope": _rope_cache_yarn(cfg),
+    }
+
+
+def config_from_hf(c) -> GptOssConfig:
+    """transformers GptOssConfig / config.json dict -> GptOssConfig."""
+    if not isinstance(c, dict):
+        c = c.to_dict()
+    rs = c.get("rope_scaling") or {}
+    return GptOssConfig(
+        hidden_size=c["hidden_size"],
+        num_layers=c["num_hidden_layers"],
+        num_q_heads=c["num_attention_heads"],
+        num_kv_heads=c["num_key_value_heads"],
+        head_dim=c.get("head_dim", 64),
+        intermediate_size=c["intermediate_size"],
+        vocab_size=c["vocab_size"],
+        rope_theta=c.get("rope_theta", 150000.0),
+        rms_eps=c.get("rms_norm_eps", 1e-5),
+        max_position=c.get("max_position_embeddings", 131072),
+        num_experts=c["num_local_experts"],
+        top_k=c["num_experts_per_tok"],
+        sliding_window=c.get("sliding_window", 128),
+        rope_factor=float(rs.get("factor", 0.0) or 0.0),
+        rope_beta_fast=float(rs.get("beta_fast", 32.0)),
+        rope_beta_slow=float(rs.get("beta_slow", 1.0)),
+        rope_orig_max_position=int(
+            rs.get("original_max_position_embeddings",
+                   c.get("max_position_embeddings", 4096))),
+    )

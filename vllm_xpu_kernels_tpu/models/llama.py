@@ -56,6 +56,12 @@ class LlamaConfig:
     def jdtype(self):
         return jnp.dtype(self.dtype)
 
+    def attn_window(self, li: int):
+        """Per-layer sliding window ``(left, right)`` or None (full
+        causal).  Families with alternating local/global layers
+        (GPT-OSS) override this."""
+        return None
+
     def tp_slice(self, tp: int) -> "LlamaConfig":
         """Per-rank config with heads/columns divided (the reference's
         'shapes pre-resolved with TP division applied',
@@ -182,7 +188,7 @@ def _linear(x, p, tp_axis=None, reduce_out=False, lora=None, a_q=None,
     else:
         out = jnp.dot(x, p["w"], preferred_element_type=jnp.float32
                       ).astype(x.dtype)
-    if "b" in p:
+    if "b" in p and not reduce_out:
         out = (out.astype(jnp.float32)
                + p["b"].astype(jnp.float32)).astype(out.dtype)
     if lora is not None:
@@ -193,6 +199,11 @@ def _linear(x, p, tp_axis=None, reduce_out=False, lora=None, a_q=None,
         out = ops.bgmv_expand(h, lb, out, idx, add_inputs=True)
     if reduce_out:
         out = tp_psum(out, tp_axis)
+        if "b" in p:
+            # row-parallel layers (o-proj / down-proj) add the bias once,
+            # after the psum — adding per-rank would scale it by tp
+            out = (out.astype(jnp.float32)
+                   + p["b"].astype(jnp.float32)).astype(out.dtype)
     return out
 
 
@@ -429,7 +440,8 @@ def _lora_for(lora_layer, name, lora_idx):
 def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
                      block_table, kv_lens, cu_q, max_q, max_k, tp_axis,
                      k_scale=None, v_scale=None, lora_layer=None,
-                     lora_idx=None, fresh_prefill=False, a_q=None):
+                     lora_idx=None, fresh_prefill=False, a_q=None,
+                     window=None):
     t = (x if x is not None else a_q[0]).shape[0]
     hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
     qkv = _linear(x, lp["wqkv"], a_q=a_q,
@@ -479,7 +491,8 @@ def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
         max_q, cu_q, max_k,
         seqused_k=kv_lens, block_table=block_table, causal=True,
         kv_layout="fused" if fused else "bhsd",
-        k_descale=k_scale, v_descale=v_scale)
+        k_descale=k_scale, v_descale=v_scale,
+        window_size=window, s_aux=lp.get("sinks"))
     out = _linear(attn.reshape(t, hq * d), lp["wo"], tp_axis,
                   reduce_out=True,
                   lora=_lora_for(lora_layer, "wo", lora_idx))
@@ -502,8 +515,13 @@ def _mlp_block(cfg, lp, x, tp_axis, lora_layer=None, lora_idx=None,
 def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
                     block_table, kv_lens, cu_q, max_q, max_k,
                     k_cache, v_cache, tp_axis, k_scale=None, v_scale=None,
-                    lora_params=None, lora_idx=None, fresh_prefill=False):
-    """Shared prefill/decode body over packed tokens [T]."""
+                    lora_params=None, lora_idx=None, fresh_prefill=False,
+                    mlp_fn=None):
+    """Shared prefill/decode body over packed tokens [T].
+
+    ``mlp_fn(cfg, lp, x, tp_axis)`` replaces the dense gated MLP when a
+    family swaps it out (MoE models: GPT-OSS); attention / norm / cache
+    plumbing stays shared."""
     x = jnp.take(params["embed"], token_ids, axis=0)
     x = tp_psum(x, None)  # embed replicated; no-op
     rope = params["rope"]
@@ -533,8 +551,9 @@ def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
             cfg, lp, h, positions, rope, k_cache[li], v_cache[li],
             slot_mapping, block_table, kv_lens, cu_q, max_q, max_k,
             tp_axis, k_scale, v_scale, ll, lora_idx,
-            fresh_prefill=fresh_prefill, a_q=aq1)
-        if fuse8:
+            fresh_prefill=fresh_prefill, a_q=aq1,
+            window=cfg.attn_window(li))
+        if fuse8 and mlp_fn is None:
             h2q8, h2s8, residual = ops.rms_norm_dynamic_per_token_quant(
                 attn, lp["ln2"], cfg.rms_eps, jnp.int8, residual=residual)
             x = _mlp_block(cfg, lp, None, tp_axis, ll, lora_idx,
@@ -542,7 +561,8 @@ def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
         else:
             h2, residual = ops.fused_add_rms_norm(
                 attn, residual, lp["ln2"], cfg.rms_eps)
-            x = _mlp_block(cfg, lp, h2, tp_axis, ll, lora_idx)
+            x = (mlp_fn(cfg, lp, h2, tp_axis) if mlp_fn is not None
+                 else _mlp_block(cfg, lp, h2, tp_axis, ll, lora_idx))
         k_cache[li] = kc_l
         v_cache[li] = vc_l
     x = (x.astype(jnp.float32) + residual.astype(jnp.float32)).astype(x.dtype)

@@ -123,6 +123,10 @@ def read_hf_config(path: str):
     with open(os.path.join(path, "config.json")) as f:
         c = json.load(f)
     archs = c.get("architectures", ["LlamaForCausalLM"])
+    if any("GptOss" in a for a in archs):
+        from vllm_xpu_kernels_tpu.models.gpt_oss import config_from_hf
+
+        return config_from_hf(c)
     qwen2 = any("Qwen2" in a for a in archs)
     qwen3 = any("Qwen3" in a for a in archs)
     if not any("Llama" in a or "Mistral" in a for a in archs) \
@@ -297,3 +301,17 @@ def save_llama_hf(params, cfg, path: str):
     }
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(cfgj, f)
+
+
+def load_gpt_oss_params(cfg, path: str):
+    """GPT-OSS checkpoint dir -> param pytree for ``models.gpt_oss``.
+
+    Expects the dequantized (bf16) HF tensor layout; expert weights are
+    re-quantized to MXFP4 on load when ``cfg.quant == 'mxfp4'`` (the
+    released-checkpoint recipe).  The native quantized release layout
+    (``*_blocks`` / ``*_scales`` tensors) should be dequantized with HF
+    transformers first (Mxfp4Config(dequantize=True)).
+    """
+    from vllm_xpu_kernels_tpu.models.gpt_oss import params_from_hf_state
+
+    return params_from_hf_state(cfg, _ShardedCheckpoint(path).get)
