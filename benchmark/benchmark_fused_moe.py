@@ -22,9 +22,13 @@ from weight_shapes import WEIGHT_SHAPES
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tokens", type=int, default=128)
-    ap.add_argument("--topk", type=int, default=2)
+    ap.add_argument("--model", default="mixtral-8x7b-expert",
+                    choices=["mixtral-8x7b-expert", "gpt-oss-20b-expert",
+                             "gpt-oss-120b-expert"])
+    ap.add_argument("--topk", type=int, default=0,
+                    help="0 = the model's default (mixtral 2, gpt-oss 4)")
     ap.add_argument("--quant", default="none",
-                    choices=["none", "fp8_channel", "w8a8"])
+                    choices=["none", "fp8_channel", "w8a8", "mxfp4"])
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke/CI)")
     args = ap.parse_args()
@@ -39,18 +43,21 @@ def main():
     from vllm_xpu_kernels_tpu import ops
 
     p = preset()
-    cfg = WEIGHT_SHAPES["mixtral-8x7b-expert"]
+    cfg = WEIGHT_SHAPES[args.model]
+    gpt_oss = "gpt-oss" in args.model
+    act = "swigluoai" if gpt_oss else "silu"
+    topk = args.topk or (4 if gpt_oss else 2)
     e = cfg["num_experts"]
     d, i2 = cfg["w13"]
     inter = i2 // 2
     t = args.tokens
     rng = np.random.default_rng(0)
-    print(f"# chip={detect_chip()} mixtral-8x7b E={e} d={d} I={inter} "
-          f"tokens={t} topk={args.topk} quant={args.quant}")
+    print(f"# chip={detect_chip()} {args.model} E={e} d={d} I={inter} "
+          f"tokens={t} topk={topk} quant={args.quant} act={act}")
 
     x = jnp.asarray(rng.standard_normal((t, d)) * 0.3, jnp.bfloat16)
     gating = jnp.asarray(rng.standard_normal((t, e)).astype(np.float32))
-    tw, ti = ops.topk_softmax(gating, args.topk, True)
+    tw, ti = ops.topk_softmax(gating, topk, True)
     kwargs = {}
     if args.quant == "none":
         w13 = jnp.asarray(rng.standard_normal((e, d, i2)) * 0.05,
@@ -66,6 +73,19 @@ def main():
         kwargs = dict(
             w13_scales=jnp.full((e, i2), 4e-4, jnp.float32),
             w2_scales=jnp.full((e, d), 4e-4, jnp.float32))
+        wbytes = w13.size + w2.size
+    elif args.quant == "mxfp4":
+        # e2m1 codes split-K packed + per-32-group pow2 scales (the
+        # gpt-oss released-checkpoint expert recipe)
+        g = 32
+        w13 = jnp.asarray(
+            rng.integers(-128, 128, (e, d // 2, i2), dtype=np.int8))
+        w2 = jnp.asarray(
+            rng.integers(-128, 128, (e, inter // 2, d), dtype=np.int8))
+        kwargs = dict(
+            w13_scales=jnp.full((e, d // g, i2), 0.25, jnp.float32),
+            w2_scales=jnp.full((e, inter // g, d), 0.25, jnp.float32),
+            group_size=g)
         wbytes = w13.size + w2.size
     else:
         w13 = jnp.asarray(rng.standard_normal((e, d, i2)) * 0.05,
@@ -83,7 +103,7 @@ def main():
     def step(carry):
         x, w13, w2 = carry
         return ops.tpu_fused_moe(x, w13, w2, tw, ti, quant=args.quant,
-                                 activation="silu", **kwargs)
+                                 activation=act, **kwargs)
 
     def fb(y, carry):
         x, w13, w2 = carry

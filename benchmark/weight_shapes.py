@@ -19,6 +19,12 @@ WEIGHT_SHAPES = {
     "mixtral-8x7b-expert": {
         "w13": (4096, 28672), "w2": (14336, 4096), "num_experts": 8,
     },
+    "gpt-oss-20b-expert": {
+        "w13": (2880, 5760), "w2": (2880, 2880), "num_experts": 32,
+    },
+    "gpt-oss-120b-expert": {
+        "w13": (2880, 5760), "w2": (2880, 2880), "num_experts": 128,
+    },
     "deepseek-v2-lite": {
         "qkv": (2048, 3072), "o": (2048, 2048),
         "moe_w13": (2048, 2816), "moe_w2": (1408, 2048),
