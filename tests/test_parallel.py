@@ -176,3 +176,51 @@ def test_gpipe_pipeline_matches_sequential(n_stages, m):
         out_specs=P(), check_rep=False)
     out = jax.jit(f)(stacked, x)
     assert_allclose(out, np.asarray(golden), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("window,sink", [((7, -1), False), ((-1, -1), True),
+                                         ((5, -1), True)])
+def test_ring_attention_window_sink(window, sink):
+    """Ring CP with GPT-OSS-style sliding window and attention sinks ==
+    dense softmax with the sink column (sink enters the normalizer
+    exactly once, regardless of ring size)."""
+    from vllm_xpu_kernels_tpu.parallel import ring_attention
+
+    n_dev = min(4, len(jax.devices()))
+    devs = np.array(jax.devices()[:n_dev])
+    mesh = Mesh(devs, ("cp",))
+    t_local, h, d = 8, 4, 32
+    t = t_local * n_dev
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((t, h, d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((t, h, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((t, h, d)) * 0.5, jnp.float32)
+    s = (jnp.asarray(rng.standard_normal((h,)), jnp.float32)
+         if sink else None)
+    scale = d ** -0.5
+
+    ring = shard_map(
+        lambda q, k, v: ring_attention(q, k, v, "cp", scale=scale,
+                                       causal=True, window=window, sink=s),
+        mesh=mesh, in_specs=(P("cp"), P("cp"), P("cp")),
+        out_specs=P("cp"), check_rep=False)
+    out = jax.jit(ring)(q, k, v)
+
+    logits = np.einsum("qhd,khd->hqk", np.asarray(q) * scale, np.asarray(k))
+    qpos = np.arange(t)[:, None]
+    kpos = np.arange(t)[None, :]
+    mask = kpos > qpos
+    if window[0] >= 0:
+        mask = mask | (kpos < qpos - window[0])
+    logits = np.where(mask[None], -np.inf, logits)
+    if sink:
+        logits = np.concatenate(
+            [logits, np.broadcast_to(np.asarray(s)[:, None, None],
+                                     (h, t, 1))], axis=-1)
+    m = logits.max(-1, keepdims=True)
+    p = np.exp(logits - m)
+    sm = p / p.sum(-1, keepdims=True)
+    if sink:
+        sm = sm[..., :-1]
+    golden = np.einsum("hqk,khd->qhd", sm, np.asarray(v))
+    assert_allclose(out, golden, rtol=1e-4, atol=1e-4)

@@ -16,16 +16,22 @@ import jax
 import jax.numpy as jnp
 
 
-def _partial_attn(q, k, v, q_pos, k_pos, scale, causal):
+def _partial_attn(q, k, v, q_pos, k_pos, scale, causal, window):
     """Dense partial attention -> (O [T, H, D], LSE [H, T]) with global
-    positions for causal masking."""
+    positions for causal/window masking."""
     logits = jnp.einsum(
         "qhd,khd->hqk",
         q.astype(jnp.float32) * scale,
         k.astype(jnp.float32))
+    mask = jnp.zeros(logits.shape[1:], bool)
     if causal:
-        mask = k_pos[None, None, :] > q_pos[None, :, None]
-        logits = jnp.where(mask, -jnp.inf, logits)
+        mask = k_pos[None, :] > q_pos[:, None]
+    wl, wr = window
+    if wl >= 0:
+        mask = mask | (k_pos[None, :] < q_pos[:, None] - wl)
+    if wr >= 0:
+        mask = mask | (k_pos[None, :] > q_pos[:, None] + wr)
+    logits = jnp.where(mask[None], -jnp.inf, logits)
     m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), -1e30)
     p = jnp.exp(logits - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -42,6 +48,8 @@ def ring_attention(
     *,
     scale: Optional[float] = None,
     causal: bool = True,
+    window: tuple[int, int] = (-1, -1),
+    sink: Optional[jax.Array] = None,   # [H] per-head sink logits
 ):
     """Blockwise ring attention over a sharded sequence.
 
@@ -50,6 +58,13 @@ def ring_attention(
     partials merge with the merge_attn_states LSE math
     (reference: csrc/attention/merge_attn_states.cpp).  Returns the local
     output chunk [Tq_local, H, D].
+
+    ``window`` masks in GLOBAL positions, so sliding-window layers
+    (GPT-OSS local attention) shard unchanged — fully-out-of-window KV
+    blocks contribute l=0 and merge as no-ops.  ``sink`` (per-head
+    attention-sink logits, reference ``s_aux``) joins the softmax
+    normalizer EXACTLY ONCE — at the final normalization, not per ring
+    step — which is the subtle part the single-device kernels hide.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -84,7 +99,7 @@ def ring_attention(
     for step in range(n):
         kk, vv = kv
         o_blk, lse_blk, l_blk = _partial_attn(
-            q, kk, vv, q_pos, kv_pos(owner), scale, causal)
+            q, kk, vv, q_pos, kv_pos(owner), scale, causal, window)
         # lse_blk = m + log l; recover block max for stable merge
         m_blk = lse_blk - jnp.log(jnp.maximum(l_blk, 1e-30))
         carry = merge(carry, o_blk, m_blk, l_blk)
@@ -92,5 +107,11 @@ def ring_attention(
             kv = jax.lax.ppermute(kv, axis, perm)
             owner = (owner - 1) % n
     o_num, m_run, l_run = carry
+    if sink is not None:
+        # the sink logit enters the softmax denominator once, globally
+        s = sink.astype(jnp.float32)[:, None]        # [H, 1]
+        m_f = jnp.maximum(m_run, s)
+        l_run = l_run * jnp.exp(m_run - m_f) + jnp.exp(s - m_f)
+        o_num = o_num * jnp.exp(m_run - m_f).T[:, :, None]
     out = o_num / jnp.maximum(l_run, 1e-30).T[:, :, None]
     return out.astype(q.dtype)
