@@ -227,3 +227,53 @@ def test_moe_ep_matches_replicated():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(base, np.float32),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_tp_decode_matches_single_device():
+    """shard_mapped TP GPT-OSS decode (sharded sinks + windows + biased
+    projections, replicated experts) == single-device decode."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from vllm_xpu_kernels_tpu.models.llama import kv_cache_tp_spec
+    from vllm_xpu_kernels_tpu.parallel import make_mesh
+
+    tp = 2
+    cfg = CFG
+    cfg_local = cfg.tp_slice(tp)
+    params = G.init_params(cfg, jax.random.PRNGKey(8))
+    nb = 8
+    kc, vc = init_kv_cache(cfg, nb)
+    b, kv_len = 2, 20
+    tok = jnp.asarray([3, 5], jnp.int32)
+    kv_lens = jnp.full((b,), kv_len, jnp.int32)
+    positions = kv_lens - 1
+    tbl = jnp.asarray([[0, 1, 0, 0], [2, 3, 0, 0]], jnp.int32)
+    slots = jnp.asarray([16 + 3, 3 * 16 + 3], jnp.int32)
+    max_k = 64
+
+    ref_logits, _, _ = G.decode_step(
+        cfg, params, tok, positions, slots, tbl, kv_lens, kc, vc,
+        max_seqlen_k=max_k)
+
+    mesh = make_mesh(dp=1, tp=tp, devices=jax.devices()[:tp])
+    pspecs = G.param_tp_specs(cfg)
+    cspec = kv_cache_tp_spec()
+    rep = P()
+
+    def step(p, tok, pos, slots, tbl, kvl, kc, vc):
+        logits, _, _ = G.decode_step(
+            cfg_local, p, tok, pos, slots, tbl, kvl, kc, vc,
+            max_seqlen_k=max_k, tp_axis="tp")
+        return logits
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(pspecs, rep, rep, rep, rep, rep, cspec, cspec),
+        out_specs=rep, check_rep=False)
+    kc2, vc2 = init_kv_cache(cfg, nb)
+    tp_logits = jax.jit(sharded)(
+        G.params_for_tp(params, cfg, tp), tok, positions, slots, tbl,
+        kv_lens, kc2, vc2)
+    np.testing.assert_allclose(np.asarray(tp_logits, np.float32),
+                               np.asarray(ref_logits, np.float32),
+                               rtol=1e-4, atol=1e-4)

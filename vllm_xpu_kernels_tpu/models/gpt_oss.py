@@ -325,3 +325,62 @@ def config_from_hf(c) -> GptOssConfig:
             rs.get("original_max_position_embeddings",
                    c.get("max_position_embeddings", 4096))),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism
+# ---------------------------------------------------------------------------
+
+def param_tp_specs(cfg: GptOssConfig, tp_axis: str = "tp"):
+    """PartitionSpec tree for the GPT-OSS params under TP: attention is
+    Megatron-sharded (qkv columns + sinks over heads, o rows, o-bias
+    added once post-psum), router and expert stacks replicated — expert
+    scaling is EP's job (ep_fused_moe), TP carries the attention."""
+    from jax.sharding import PartitionSpec as P
+
+    experts = {"w": P(), "b": P()}
+    if cfg.quant == "mxfp4":
+        experts["mx"] = P()
+    layer = {
+        "ln1": P(), "ln2": P(),
+        "wqkv": {"w": P(None, tp_axis), "b": P(tp_axis)},
+        "wo": {"w": P(tp_axis, None), "b": P()},
+        "sinks": P(tp_axis),
+        "router": P(),
+        "router_b": P(),
+        "w13": dict(experts),
+        "w2": dict(experts),
+    }
+    return {
+        "layers": [dict(layer) for _ in range(cfg.num_layers)],
+        "embed": P(),
+        "final_ln": P(),
+        "rope": P(),
+        "lm_head": P(),
+    }
+
+
+def params_for_tp(params, cfg: GptOssConfig, tp: int):
+    """Rank-block the fused qkv columns (same permutation as
+    L.params_for_tp, which expects a dense-MLP tree).  Sinks are already
+    head-contiguous per rank under a plain P(tp) sharding."""
+    if tp == 1:
+        return params
+    import numpy as np
+
+    hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    sizes = [hq * d, hkv * d, hkv * d]
+    offs = np.cumsum([0] + sizes[:-1])
+    perm = []
+    for r in range(tp):
+        for off, sz in zip(offs, sizes):
+            per = sz // tp
+            perm.extend(range(off + r * per, off + (r + 1) * per))
+    perm = np.asarray(perm, np.int64)
+    new_layers = []
+    for lp in params["layers"]:
+        nl = dict(lp)
+        nl["wqkv"] = {"w": lp["wqkv"]["w"][:, perm],
+                      "b": lp["wqkv"]["b"][perm]}
+        new_layers.append(nl)
+    return {**params, "layers": new_layers}
