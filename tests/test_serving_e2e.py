@@ -366,3 +366,53 @@ def test_chunked_prefill_matches_whole_prefill():
     # 1-token chunk of a running sequence == decode row in a prefill batch
     one_tok = run_chunks([{0: pa[:26]}, {0: pa[26:]}])
     assert_allclose(one_tok[0], golden[0], rtol=2e-2, atol=2e-2)
+
+
+def test_mixtral_prefill_then_decode_teacher_forcing():
+    """Mixtral via the shared forward body: incremental decode over the
+    paged cache reproduces teacher-forced prefill logits."""
+    from vllm_xpu_kernels_tpu.models import mixtral as MX
+    from vllm_xpu_kernels_tpu.models import init_kv_cache
+    from vllm_xpu_kernels_tpu.models.runtime import (
+        BlockManager, build_prefill_batch, build_decode_batch)
+
+    cfg = MX.MixtralConfig(
+        hidden_size=64, num_layers=2, num_q_heads=4, num_kv_heads=2,
+        head_dim=16, intermediate_size=128, vocab_size=128,
+        max_position=64, quant="none", block_size=16,
+        num_experts=4, top_k=2, dtype="float32")
+    params = MX.init_params(cfg, jax.random.PRNGKey(4))
+    rng = np.random.default_rng(9)
+    T = 10
+    toks = rng.integers(0, cfg.vocab_size, (T,))
+
+    mgr = BlockManager(16, cfg.block_size)
+    kc, vc = init_kv_cache(cfg, 16)
+    (seq_ids, token_ids, positions, cu_q, slots, tbl, kv_lens,
+     mq, mk) = build_prefill_batch(mgr, {0: toks.astype(np.int64)})
+    want, _, _ = MX.prefill_step(
+        cfg, params, jnp.asarray(token_ids), jnp.asarray(positions),
+        jnp.asarray(cu_q), jnp.asarray(slots), jnp.asarray(tbl),
+        jnp.asarray(kv_lens), kc, vc, 16, 16)
+    want = np.asarray(want, np.float32)[:T]
+
+    mgr2 = BlockManager(16, cfg.block_size)
+    kc2, vc2 = init_kv_cache(cfg, 16)
+    (seq_ids, token_ids, positions, cu_q, slots, tbl, kv_lens,
+     mq, mk) = build_prefill_batch(mgr2, {0: toks[:1].astype(np.int64)})
+    logits, kc2, vc2 = MX.prefill_step(
+        cfg, params, jnp.asarray(token_ids), jnp.asarray(positions),
+        jnp.asarray(cu_q), jnp.asarray(slots), jnp.asarray(tbl),
+        jnp.asarray(kv_lens), kc2, vc2, 16, 16)
+    np.testing.assert_allclose(np.asarray(logits)[0], want[0],
+                               rtol=2e-4, atol=2e-4)
+    for i in range(1, T):
+        batch = build_decode_batch(mgr2, seq_ids, toks[i: i + 1],
+                                   max_blocks=2)
+        logits, kc2, vc2 = MX.decode_step(
+            cfg, params, jnp.asarray(batch.token_ids),
+            jnp.asarray(batch.positions), jnp.asarray(batch.slot_mapping),
+            jnp.asarray(batch.block_table), jnp.asarray(batch.kv_lens),
+            kc2, vc2, max_seqlen_k=32)
+        np.testing.assert_allclose(np.asarray(logits)[0], want[i],
+                                   rtol=2e-4, atol=2e-4)

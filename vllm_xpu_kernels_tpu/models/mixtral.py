@@ -102,28 +102,31 @@ def decode_step(
     tp_axis: Optional[str] = None, ep_axis: Optional[str] = None,
 ):
     """One MoE decode step -> (logits, caches).  ``ep_axis`` runs the
-    expert MLP expert-sharded inside shard_map (router replicated)."""
+    expert MLP expert-sharded inside shard_map (router replicated).
+    Shares the llama forward body (fused w8a8 attention norm-quant,
+    fused KV pages) with the expert MLP swapped in via ``mlp_fn``."""
+    import functools
+
     b = token_ids.shape[0]
     cu_q = jnp.arange(b + 1, dtype=jnp.int32)
-    x = jnp.take(params["embed"], token_ids, axis=0)
-    rope = params["rope"]
-    residual = jnp.zeros_like(x)
-    k_cache = list(k_cache)
-    v_cache = list(v_cache)
-    for li, lp in enumerate(params["layers"]):
-        h, residual = ops.fused_add_rms_norm(
-            x, residual, lp["ln1"], cfg.rms_eps)
-        attn, kc_l, vc_l = L._attention_block(
-            cfg, lp, h, positions, rope, k_cache[li], v_cache[li],
-            slot_mapping, block_table, kv_lens, cu_q, 1, max_seqlen_k,
-            tp_axis)
-        h2, residual = ops.fused_add_rms_norm(
-            attn, residual, lp["ln2"], cfg.rms_eps)
-        x = _moe_mlp(cfg, lp, h2, tp_axis, ep_axis)
-        k_cache[li] = kc_l
-        v_cache[li] = vc_l
-    x = (x.astype(jnp.float32) + residual.astype(jnp.float32)).astype(x.dtype)
-    x = ops.rms_norm(x, params["final_ln"], cfg.rms_eps)
-    logits = jnp.dot(x, params["embed"].T,
-                     preferred_element_type=jnp.float32)
-    return logits, k_cache, v_cache
+    return L._forward_tokens(
+        cfg, params, token_ids, positions, slot_mapping, block_table,
+        kv_lens, cu_q, 1, max_seqlen_k, k_cache, v_cache, tp_axis,
+        mlp_fn=functools.partial(_moe_mlp, ep_axis=ep_axis))
+
+
+def prefill_step(
+    cfg: MixtralConfig, params, token_ids, positions, cu_seqlens_q,
+    slot_mapping, block_table, kv_lens, k_cache, v_cache,
+    max_seqlen_q: int, max_seqlen_k: int,
+    tp_axis: Optional[str] = None, ep_axis: Optional[str] = None,
+    fresh_prefill: bool = False,
+):
+    """Packed varlen prefill -> (logits [T, V], caches)."""
+    import functools
+
+    return L._forward_tokens(
+        cfg, params, token_ids, positions, slot_mapping, block_table,
+        kv_lens, cu_seqlens_q, max_seqlen_q, max_seqlen_k,
+        k_cache, v_cache, tp_axis, fresh_prefill=fresh_prefill,
+        mlp_fn=functools.partial(_moe_mlp, ep_axis=ep_axis))
