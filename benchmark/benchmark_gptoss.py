@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--layers", type=int, default=0,
                     help="override layer count (0 = full 24)")
+    ap.add_argument("--attn-quant", default="none",
+                    choices=["none", "w8a8", "w4a8", "int8", "fp8"],
+                    help="quantize attention projections + logits head")
     ap.add_argument("--trace", default=None, metavar="DIR")
     args = ap.parse_args()
 
@@ -54,11 +57,12 @@ def main():
             hidden_size=256, num_layers=4, num_q_heads=8, num_kv_heads=2,
             head_dim=64, intermediate_size=256, vocab_size=2048,
             num_experts=8, top_k=4, sliding_window=64, max_position=2048,
-            block_size=16, quant="mxfp4")
+            block_size=16, quant="mxfp4", attn_quant=args.attn_quant)
         args.batch, args.kv_len, args.steps = 4, 48, 3
     else:
         cfg = G.GptOssConfig(
             quant="mxfp4",
+            attn_quant=args.attn_quant,
             num_layers=args.layers or 24,
             max_position=16384,
         )
@@ -119,9 +123,12 @@ def main():
     hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
     exp_params = cfg.num_experts * (e * 2 * i + i * e)
     exp_bytes = exp_params // 2 + exp_params // 32 * 4
-    attn_bytes = (e * (hq + 2 * hkv) * d + hq * d * e + e * cfg.num_experts
-                  ) * 2
-    wbytes = l_ * (exp_bytes + attn_bytes) + cfg.vocab_size * e * 2
+    apb = {"fp8": 1, "int8": 1, "w8a8": 1, "w4a8": 0.5}.get(
+        cfg.attn_quant, 2)
+    attn_bytes = ((e * (hq + 2 * hkv) * d + hq * d * e) * apb
+                  + e * cfg.num_experts * 2)
+    head_b = 1 if cfg.attn_quant in ("w8a8", "w4a8") else 2
+    wbytes = l_ * (exp_bytes + attn_bytes) + cfg.vocab_size * e * head_b
     kv_bytes = (np.minimum(args.kv_len + args.steps, max_k) * 2 * hkv * d
                 * 2 * l_ * args.batch)
     # sliding layers touch at most window+page KV
@@ -134,8 +141,10 @@ def main():
     frac = tok_s / roofline_tok_s
 
     print(json.dumps({
-        "metric": ("gptoss20b_mxfp4_decode" if not args.small
-                   else "gptoss_small_mxfp4_decode"),
+        "metric": (("gptoss20b_mxfp4_decode" if not args.small
+                    else "gptoss_small_mxfp4_decode")
+                   + ("" if cfg.attn_quant == "none"
+                      else f"_attn_{cfg.attn_quant}")),
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(frac, 4),

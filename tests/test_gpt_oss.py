@@ -277,3 +277,23 @@ def test_tp_decode_matches_single_device():
     np.testing.assert_allclose(np.asarray(tp_logits, np.float32),
                                np.asarray(ref_logits, np.float32),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_w8a8_attention_recipe():
+    """attn_quant='w8a8': attention projections + logits head quantized
+    (per-channel int8, dynamic per-token int8 activations via the fused
+    norm-quant path) while experts keep their own recipe; logits track
+    the bf16 model."""
+    cfg_q = dataclasses.replace(CFG, attn_quant="w8a8")
+    params = G.init_params(CFG, jax.random.PRNGKey(2))
+    params_q = G.init_params(cfg_q, jax.random.PRNGKey(2))
+    lp = params_q["layers"][0]
+    assert "s8" in lp["wqkv"] and "b" in lp["wqkv"]
+    assert "lm_head_q" in params_q
+
+    rng = np.random.default_rng(23)
+    toks = rng.integers(0, CFG.vocab_size, (16,))
+    a = _prefill_logits(CFG, params, toks)
+    b = _prefill_logits(cfg_q, params_q, toks)
+    assert np.abs(a - b).max() < 1.0
+    assert np.abs(a - b).mean() < 0.1

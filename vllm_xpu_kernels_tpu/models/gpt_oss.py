@@ -63,6 +63,12 @@ class GptOssConfig(L.LlamaConfig):
     rope_beta_fast: float = 32.0
     rope_beta_slow: float = 1.0
     rope_orig_max_position: int = 4096
+    # quantization split: ``quant`` covers the expert stacks (none |
+    # mxfp4 — the released recipe); ``attn_quant`` covers the attention
+    # projections + logits head (none | fp8 | int8 | w8a8 | w4a8, the
+    # same serving recipes as the Llama family) — at 20B the bf16
+    # attention weights are ~25% of the decode stream
+    attn_quant: str = "none"
 
     def attn_window(self, li: int):
         # HF layer_types: "sliding_attention" when (li+1) % 2 (even li)
@@ -150,7 +156,8 @@ def init_params(cfg: GptOssConfig, key=None):
     """Random-initialized tree: Llama attention layout + per-layer sink
     logits, biased projections, router and biased expert stacks."""
     key = key if key is not None else jax.random.PRNGKey(0)
-    base = L.init_params(dataclasses.replace(cfg, quant="none"), key)
+    base = L.init_params(dataclasses.replace(cfg, quant=cfg.attn_quant),
+                         key)
     e, i = cfg.hidden_size, cfg.intermediate_size
     hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
     keys = jax.random.split(jax.random.fold_in(key, 23), cfg.num_layers * 8)
@@ -251,7 +258,8 @@ def params_from_hf_state(cfg: GptOssConfig, get):
 
     def lin(wname, bname=None, transpose=True):
         w = np.asarray(get(wname), np.float32)
-        p = {"w": jnp.asarray(w.T if transpose else w, dt)}
+        p = L.quantize_linear(jnp.asarray(w.T if transpose else w),
+                              cfg.attn_quant, dt)
         if bname is not None:
             p["b"] = jnp.asarray(np.asarray(get(bname), np.float32), dt)
         return p
@@ -266,12 +274,13 @@ def params_from_hf_state(cfg: GptOssConfig, get):
         qkv_b = np.concatenate(
             [np.asarray(get(pre + f"self_attn.{n}_proj.bias"), np.float32)
              for n in ("q", "k", "v")])
+        wqkv = L.quantize_linear(jnp.asarray(qkv_w), cfg.attn_quant, dt)
+        wqkv["b"] = jnp.asarray(qkv_b, dt)
         lp = {
             "ln1": jnp.asarray(get(pre + "input_layernorm.weight"), dt),
             "ln2": jnp.asarray(
                 get(pre + "post_attention_layernorm.weight"), dt),
-            "wqkv": {"w": jnp.asarray(qkv_w, dt),
-                     "b": jnp.asarray(qkv_b, dt)},
+            "wqkv": wqkv,
             "wo": lin(pre + "self_attn.o_proj.weight",
                       pre + "self_attn.o_proj.bias"),
             "sinks": jnp.asarray(
@@ -290,13 +299,18 @@ def params_from_hf_state(cfg: GptOssConfig, get):
         lp.update(_expert_params(cfg, jnp.asarray(w13), jnp.asarray(w2),
                                  jnp.asarray(b13), jnp.asarray(b2)))
         layers.append(lp)
-    return {
+    tree = {
         "layers": layers,
         "embed": jnp.asarray(get("model.embed_tokens.weight"), dt),
         "lm_head": jnp.asarray(get("lm_head.weight"), dt),
         "final_ln": jnp.asarray(get("model.norm.weight"), dt),
         "rope": _rope_cache_yarn(cfg),
     }
+    if cfg.attn_quant in ("w8a8", "w4a8"):
+        tree["lm_head_q"] = L.quantize_linear(
+            jnp.asarray(np.asarray(get("lm_head.weight"), np.float32).T),
+            "w8a8")
+    return tree
 
 
 def config_from_hf(c) -> GptOssConfig:
@@ -341,23 +355,36 @@ def param_tp_specs(cfg: GptOssConfig, tp_axis: str = "tp"):
     experts = {"w": P(), "b": P()}
     if cfg.quant == "mxfp4":
         experts["mx"] = P()
+    col = {"w": P(None, tp_axis), "b": P(tp_axis)}
+    row = {"w": P(tp_axis, None), "b": P()}
+    aq = cfg.attn_quant
+    if aq in ("fp8", "int8", "w8a8"):
+        sk = "s8" if aq == "w8a8" else "s"
+        col[sk] = P(tp_axis)
+        row[sk] = P()
+    elif aq == "w4a8":
+        col["s4"] = P(None, tp_axis)
+        row["s4"] = P(tp_axis, None)
     layer = {
         "ln1": P(), "ln2": P(),
-        "wqkv": {"w": P(None, tp_axis), "b": P(tp_axis)},
-        "wo": {"w": P(tp_axis, None), "b": P()},
+        "wqkv": col,
+        "wo": row,
         "sinks": P(tp_axis),
         "router": P(),
         "router_b": P(),
         "w13": dict(experts),
         "w2": dict(experts),
     }
-    return {
+    tree = {
         "layers": [dict(layer) for _ in range(cfg.num_layers)],
         "embed": P(),
         "final_ln": P(),
         "rope": P(),
         "lm_head": P(),
     }
+    if aq in ("w8a8", "w4a8"):
+        tree["lm_head_q"] = {"w": P(), "s8": P()}
+    return tree
 
 
 def params_for_tp(params, cfg: GptOssConfig, tp: int):
@@ -380,7 +407,11 @@ def params_for_tp(params, cfg: GptOssConfig, tp: int):
     new_layers = []
     for lp in params["layers"]:
         nl = dict(lp)
-        nl["wqkv"] = {"w": lp["wqkv"]["w"][:, perm],
-                      "b": lp["wqkv"]["b"][perm]}
+        q = {"w": lp["wqkv"]["w"][:, perm], "b": lp["wqkv"]["b"][perm]}
+        for sk in ("s", "s8", "s4"):
+            if sk in lp["wqkv"]:
+                p = lp["wqkv"][sk]
+                q[sk] = p[:, perm] if p.ndim == 2 else p[perm]
+        nl["wqkv"] = q
         new_layers.append(nl)
     return {**params, "layers": new_layers}
