@@ -61,8 +61,12 @@ def main():
                     choices=["bf16", "e5m2", "e4m3"],
                     help="KV-cache dtype (fp8 halves KV bytes; e5m2 has "
                          "the fast native upcast path on v5e)")
-    ap.add_argument("--block-size", type=int, default=128,
-                    help="KV-cache page size in tokens")
+    ap.add_argument("--block-size", type=int, default=0,
+                    help="KV-cache page size in tokens (default: 128 for "
+                         "bf16 KV, 256 for fp8 KV — fp8 decode is "
+                         "upcast-bound, so fatter pages that halve DMA "
+                         "issues win; bf16 is DMA-bound and pays the "
+                         "fatter page's masked-tail padding bytes)")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed run")
     args = ap.parse_args()
@@ -81,6 +85,8 @@ def main():
             max_position=2048, quant="fp8", block_size=16)
         args.batch, args.kv_len, args.steps = 4, 64, 3
     else:
+        if not args.block_size:
+            args.block_size = 128 if args.kv_dtype == "bf16" else 256
         cfg = LlamaConfig(quant=args.quant, block_size=args.block_size,
                           max_position=16384)
 

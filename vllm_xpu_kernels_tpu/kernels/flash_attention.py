@@ -243,6 +243,12 @@ def _decode_kernel_dma(
     q = q_ref[0].astype(jnp.bfloat16)                    # [hkv, g, d]
     g = q.shape[1]
     ex = jnp.exp2 if spec["exp2"] else jnp.exp
+    # fp8 KV: fold k_descale into the logits scale and v_descale into the
+    # epilogue accumulator instead of multiplying every page element —
+    # the per-page chain becomes a pure upcast+cast (the scalar applies
+    # post-dot in f32, so numerics only improve).
+    qk_scale = (spec["scale"] * descale_ref[0, 0] if spec["fp8_kv"]
+                else spec["scale"])
 
     def consume(i, slot):
         """Wait page i (in buffer slot; slot is a python int so every
@@ -264,16 +270,14 @@ def _decode_kernel_dma(
             kraw = kbuf[slot]
             vraw = vbuf[slot]
         if spec["fp8_kv"]:
-            k = (fp8_upcast_f32(kraw)
-                 * descale_ref[0, 0]).astype(jnp.bfloat16)
-            v = (fp8_upcast_f32(vraw)
-                 * descale_ref[0, 1]).astype(jnp.bfloat16)
+            k = fp8_upcast_f32(kraw).astype(jnp.bfloat16)
+            v = fp8_upcast_f32(vraw).astype(jnp.bfloat16)
         else:
             k = kraw.astype(jnp.bfloat16)
             v = vraw.astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * spec["scale"]
+            preferred_element_type=jnp.float32) * qk_scale
         if spec["softcap"]:
             s = spec["softcap_mult"] * jnp.tanh(s / spec["softcap"])
         kpos = i * bs + jax.lax.broadcasted_iota(jnp.int32, (1, g, bs), 2)
@@ -324,6 +328,8 @@ def _decode_kernel_dma(
     m = m_ref[...]
     l = l_ref[...]
     acc = acc_ref[...]
+    if spec["fp8_kv"]:
+        acc = acc * descale_ref[0, 1]    # v_descale folded out of the loop
     if spec["has_sink"]:
         sink = sink_ref[...]                             # [hkv, g, 1]
         m_f = jnp.maximum(m, sink)
@@ -626,21 +632,25 @@ def _prefill_kernel(
     windowed = spec["window_left"] >= 0 or spec["window_right"] >= 0
     q_full = (iq + 1) * bq <= q_len
 
+    # fp8 KV: k_descale folds into the logits scale, v_descale into the
+    # epilogue accumulator — the per-tile chain stays a pure upcast+cast
+    # (scalars apply post-dot in f32; numerics only improve).
+    qk_scale = (spec["scale"] * descale_ref[0, 0] if spec["fp8_kv"]
+                else spec["scale"])
+
     def stage_tile(p, jt, masked):
         from vllm_xpu_kernels_tpu.kernels.quant_matmul import (
             fp8_upcast_f32)
 
         if spec["fp8_kv"]:
-            k = (fp8_upcast_f32(k_refs[p][0, 0])
-                 * descale_ref[0, 0]).astype(jnp.bfloat16)
-            v = (fp8_upcast_f32(v_refs[p][0, 0])
-                 * descale_ref[0, 1]).astype(jnp.bfloat16)
+            k = fp8_upcast_f32(k_refs[p][0, 0]).astype(jnp.bfloat16)
+            v = fp8_upcast_f32(v_refs[p][0, 0]).astype(jnp.bfloat16)
         else:
             k = k_refs[p][0, 0].astype(jnp.bfloat16)         # [bkv, D]
             v = v_refs[p][0, 0].astype(jnp.bfloat16)         # [bkv, Dv]
         s = jax.lax.dot_general(
             q, k, (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * spec["scale"]
+            preferred_element_type=jnp.float32) * qk_scale
         if spec["softcap"]:
             s = spec["softcap_mult"] * jnp.tanh(s / spec["softcap"])
         if masked:
@@ -705,6 +715,8 @@ def _prefill_kernel(
         m = m_ref[...]
         l = l_ref[...]
         acc = acc_ref[...]
+        if spec["fp8_kv"]:
+            acc = acc * descale_ref[0, 1]    # v_descale folded out
         if spec["has_sink"]:
             sv = sink_ref[0]                                 # [g, 1]
             m_f = jnp.maximum(m, sv[:, None, :])
