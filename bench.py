@@ -61,7 +61,7 @@ def main():
                     choices=["bf16", "e5m2", "e4m3"],
                     help="KV-cache dtype (fp8 halves KV bytes; e5m2 has "
                          "the fast native upcast path on v5e)")
-    ap.add_argument("--block-size", type=int, default=0,
+    ap.add_argument("--block-size", type=int, default=None,
                     help="KV-cache page size in tokens (default: 128 for "
                          "bf16 KV, 256 for fp8 KV — fp8 decode is "
                          "upcast-bound, so fatter pages that halve DMA "
@@ -85,8 +85,10 @@ def main():
             max_position=2048, quant="fp8", block_size=16)
         args.batch, args.kv_len, args.steps = 4, 64, 3
     else:
-        if not args.block_size:
+        if args.block_size is None:
             args.block_size = 128 if args.kv_dtype == "bf16" else 256
+        elif args.block_size <= 0:
+            ap.error("--block-size must be a positive number of tokens")
         cfg = LlamaConfig(quant=args.quant, block_size=args.block_size,
                           max_position=16384)
 

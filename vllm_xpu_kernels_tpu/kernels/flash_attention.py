@@ -127,13 +127,15 @@ def _decode_kernel(
         # head-batched dot_generals reach 740+ GB/s).  The P pages of the
         # step are separate unrolled updates — concatenating them in VMEM
         # measured slower (2 MB VPU copy per step).
-        q = q_ref[0].astype(jnp.float32) * spec["scale"]
+        # fp8 KV: k_descale folds into the q scale and v_descale into the
+        # epilogue accumulator (same fold as _decode_kernel_dma) — the
+        # per-page chain stays a pure upcast.
+        qk_scale = (spec["scale"] * descale_ref[0, 0] if spec["fp8_kv"]
+                    else spec["scale"])
+        q = q_ref[0].astype(jnp.float32) * qk_scale
         for pi in range(P):
             k = fp8_upcast_f32(k_refs[pi][0])
             v = fp8_upcast_f32(v_refs[pi][0])
-            if spec["fp8_kv"]:
-                k = k * descale_ref[0, 0]
-                v = v * descale_ref[0, 1]
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)      # [hkv, g, bs]
@@ -163,6 +165,8 @@ def _decode_kernel(
         m = m_ref[...]
         l = l_ref[...]
         acc = acc_ref[...]
+        if spec["fp8_kv"]:
+            acc = acc * descale_ref[0, 1]    # v_descale folded out
         if spec["has_sink"]:
             sink = sink_ref[...]                         # [hkv, g, 1]
             m_f = jnp.maximum(m, sink)
