@@ -319,6 +319,95 @@ def test_decode_fused_kv(decode_impl, kv_dtype, impl, monkeypatch):
     assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.parametrize("layout", ["contig", "mixed"])
+def test_decode_contiguous_runs(layout, impl, monkeypatch):
+    """The dma decode kernel coalesces a round of consecutive block-table
+    entries into one fat page copy — exercise fully-contiguous tables and
+    a mix of contiguous / permuted sequences (the predicate must agree
+    between DMA issue and wait, and partial tail rounds stay per-page)."""
+    monkeypatch.setenv("VXK_DECODE_IMPL", "dma")
+    seq_lens = [(1, 1025), (1, 523), (1, 130), (1, 37)]
+    d = 128
+    bs = 16
+    qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \
+        make_paged(seq_lens, (8, 2), d, d, bs, 512, jnp.bfloat16, seed=21)
+    # rebuild the block table: contiguous page runs per sequence (what a
+    # sequential allocator produces), optionally leaving one sequence on
+    # the permuted table
+    max_blocks = tbl.shape[1]
+    new_tbl = np.asarray(tbl).copy()
+    contig_seqs = range(len(seq_lens)) if layout == "contig" else (0, 2)
+    for i in contig_seqs:
+        new_tbl[i] = np.arange(i * max_blocks, (i + 1) * max_blocks)
+    # regenerate the golden per-seq views for the new table
+    kc_s = np.asarray(kj, np.float32)                # flash [nb, bs, H, hs]
+    vc_s = np.asarray(vj, np.float32)
+    keys_, vals_ = [], []
+    for i, kv in enumerate(kv_lens):
+        nb = -(-kv // bs)
+        keys_.append(kc_s[new_tbl[i, :nb]].reshape(-1, 2, d)[:kv])
+        vals_.append(vc_s[new_tbl[i, :nb]].reshape(-1, 2, d)[:kv])
+    out = ops.flash_attn_varlen_func(
+        qj, _fuse_pages(kj, vj), None, 1, cu_q, max(kv_lens),
+        seqused_k=used_k, block_table=jnp.asarray(new_tbl), causal=True,
+        softmax_scale=d ** -0.5, kv_layout="fused")
+    golden, _ = np_ref_attn(qf, kv_lens, q_lens, keys_, vals_, d ** -0.5,
+                            causal=True)
+    assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("decode_impl", ["dma", "pipelined"])
+@pytest.mark.parametrize("kv_dtype", [None, jnp.float8_e5m2])
+def test_decode_fresh_kv(decode_impl, kv_dtype, impl, monkeypatch):
+    """Fresh-KV decode fast path: the current token's quantized row is
+    folded into the attention epilogue and written into the cache by the
+    kernel — output matches scatter-then-attend, and the returned cache
+    matches the scatter exactly (bit-identical rows).  Includes a padded
+    batch row (slot -1, kv_len 1) that must not touch the cache."""
+    monkeypatch.setenv("VXK_DECODE_IMPL", decode_impl)
+    seq_lens = [(1, 1025), (1, 523), (1, 128), (1, 1)]
+    d, bs = 128, 16
+    qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \
+        make_paged(seq_lens, (8, 2), d, d, bs, 512, jnp.bfloat16, seed=31,
+                   kv_dtype=kv_dtype)
+    kv_cache = _fuse_pages(kj, vj)
+    hkv = 2
+    scale = d ** -0.5
+    rng = np.random.default_rng(41)
+    fresh = jnp.asarray(rng.standard_normal((4, hkv, 2 * d)) * 0.5,
+                        kv_cache.dtype)
+    # newest-token slots from the block table; seq 3 is batch padding
+    slots = []
+    for i, kv in enumerate(kv_lens):
+        pos = kv - 1
+        slots.append(int(tbl[i, pos // bs]) * bs + pos % bs)
+    slots[3] = -1
+    slots = jnp.asarray(slots, jnp.int32)
+    kd = vd = None
+    kwargs = {}
+    if kv_dtype is not None:
+        kd, vd = 1.3, 0.7
+        kwargs = dict(k_descale=jnp.float32(kd), v_descale=jnp.float32(vd))
+
+    from vllm_xpu_kernels_tpu.ops.cache import scatter_fused_rows
+
+    # baseline: scatter the fresh rows first, attend over the full length
+    cache_ref = scatter_fused_rows(kv_cache, fresh, slots)
+    out_ref = ops.flash_attn_varlen_func(
+        qj, cache_ref, None, 1, cu_q, max(kv_lens), seqused_k=used_k,
+        block_table=tbl, causal=True, softmax_scale=scale,
+        kv_layout="fused", **kwargs)
+    # fast path: one call, fresh row folded + written by the kernel
+    out, cache_new = ops.flash_attn_varlen_func(
+        qj, kv_cache, None, 1, cu_q, max(kv_lens), seqused_k=used_k,
+        block_table=tbl, causal=True, softmax_scale=scale,
+        kv_layout="fused", fresh_kv=fresh, fresh_slots=slots, **kwargs)
+    # padded row's output is undefined; compare live rows only
+    assert_allclose(out[:3], out_ref[:3], rtol=3e-2, atol=3e-2)
+    np.testing.assert_array_equal(
+        np.asarray(cache_new, np.float32), np.asarray(cache_ref, np.float32))
+
+
 def test_prefill_fused_kv(impl):
     """Mixed varlen prefill against the fused page layout."""
     seq_lens = [(1, 1328), (5, 18), (129, 463)]

@@ -55,6 +55,22 @@ VXK_DECODE_DMA_DEPTH = _register(
     "VXK_DECODE_DMA_DEPTH", int, 4,
     "Prefetch depth (KV pages in flight) for the 'dma' decode kernel.")
 
+VXK_PREFILL_PAGES_PER_STEP = _register(
+    "VXK_PREFILL_PAGES_PER_STEP", int, 0,
+    "Override KV tiles per prefill-kernel grid step (0 = auto "
+    "VMEM-capped; tuning knob for kernels/flash_attention.chunk_prefill "
+    "— wider steps amortize the staged online-softmax update).")
+
+VXK_DECODE_FRESH_KV = _register(
+    "VXK_DECODE_FRESH_KV", _bool, False,
+    "Decode attention consumes the current token's K/V as a direct "
+    "input (epilogue fold) instead of reading it back from the cache, "
+    "leaving the cache-row scatter dependency-free.  Measured NEUTRAL "
+    "to slightly slower on v5e 8B w8a8 (the step is core-time bound: "
+    "the scatter still executes, and the fold adds epilogue work) — "
+    "kept as an opt-in for configs where the scatter is the "
+    "bottleneck.")
+
 VXK_ATTN_EXP2 = _register(
     "VXK_ATTN_EXP2", _bool, True,
     "Run the attention online softmax in base 2 (fold log2e into the QK "

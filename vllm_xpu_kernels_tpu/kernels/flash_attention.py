@@ -183,7 +183,7 @@ def _decode_kernel_dma(
     spec,
     # scalar prefetch
     kv_lens_ref, tbl_ref,
-    # tensor inputs: sink, descale, q, then the cache —
+    # tensor inputs: sink, descale, q, [fresh], then the cache —
     #   split layout: k_hbm, v_hbm; fused layout: one kv_hbm
     # outputs o/lse, then scratch (buffers, softmax state, semaphores)
     *refs,
@@ -198,13 +198,31 @@ def _decode_kernel_dma(
     ``spec["fused"]``: the cache is one [nb, Hkv, bs, Dk+Dv] array — a
     page is ONE async copy instead of a (K, V) pair, halving the per-page
     DMA issue+wait overhead that dominates the decode-attention slack
-    (~2 DMA transactions/page measured as ~2 ms of a 19 ms 8B step)."""
+    (~2 DMA transactions/page measured as ~2 ms of a 19 ms 8B step).
+
+    ``spec["fresh"]``: the current token's quantized (K|V) row rides as a
+    direct input [B, Hkv, 1, Dk+Dv] instead of being scattered into the
+    cache *before* attention: the kernel folds it into the online-softmax
+    epilogue (an extra logit column with a value — same shape of fold as
+    the attention sink, reference merge_attn_states semantics).  The
+    cache-row scatter then happens OUTSIDE the kernel with nothing
+    downstream depending on it until the next decode step, so XLA can
+    schedule it off the critical path (it used to serialize
+    qkv-projection -> scatter -> attention, ~0.8 ms of a 19 ms 8B step).
+    Masking uses the cached length kv_len-1, so page reads never see the
+    row's slot.  (A single-row in-kernel HBM write is not expressible:
+    Mosaic requires sublane-dim slices aligned to the dtype tiling —
+    2 rows for bf16, 4 for fp8.)"""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     fused = spec["fused"]
+    fresh = spec["fresh"]
     d = spec["d"]
-    if fused:
+    if fused and fresh:
+        (sink_ref, descale_ref, q_ref, fresh_ref, kv_hbm,
+         o_ref, lse_ref, kvbuf, m_ref, l_ref, acc_ref, skv) = refs
+    elif fused:
         (sink_ref, descale_ref, q_ref, kv_hbm, o_ref, lse_ref,
          kvbuf, m_ref, l_ref, acc_ref, skv) = refs
     else:
@@ -215,8 +233,11 @@ def _decode_kernel_dma(
     depth = spec["depth"]
     b = pl.program_id(0)
     num_seqs = pl.num_programs(0)
-    kv_len = kv_lens_ref[b]
+    # with a fresh row, the pages hold kv_len-1 cached tokens; the fresh
+    # token is folded in the epilogue and never read back from the cache
+    kv_len = kv_lens_ref[b] - (1 if fresh else 0)
     n_pages = jnp.maximum((kv_len + bs - 1) // bs, 1)
+
 
     def issue(seq, page_i, slot):
         pg = tbl_ref[seq, page_i]
@@ -287,7 +308,10 @@ def _decode_kernel_dma(
         kpos = i * bs + jax.lax.broadcasted_iota(jnp.int32, (1, g, bs), 2)
         mask = kpos >= kv_len
         if spec["window_left"] >= 0:
-            mask = mask | (kpos < kv_len - 1 - spec["window_left"])
+            # current token's position: kv_len-1 normally, kv_len (the
+            # fresh row, outside the pages) in fresh mode
+            cur_pos = kv_len - (0 if fresh else 1)
+            mask = mask | (kpos < cur_pos - spec["window_left"])
         s = jnp.where(mask, -jnp.inf, s)
         cur = jnp.max(s, axis=-1, keepdims=True)
         m_old = m_ref[...]
@@ -319,11 +343,13 @@ def _decode_kernel_dma(
     jax.lax.fori_loop(0, n_rounds, round_body, 0, unroll=False)
 
     # Epilogue: prefetch the next sequence's first pages while this
-    # step finalizes and the pipeline swaps q/output blocks.
+    # step finalizes and the pipeline swaps q/output blocks.  The page
+    # count must match the next step's n_pages EXACTLY (every issued DMA
+    # is waited exactly once), so it uses the same cached-length rule.
     @pl.when(b + 1 < num_seqs)
     def _():
-        nxt_pages = jnp.maximum(
-            (kv_lens_ref[b + 1] + bs - 1) // bs, 1)
+        nxt = kv_lens_ref[b + 1] - (1 if fresh else 0)
+        nxt_pages = jnp.maximum((nxt + bs - 1) // bs, 1)
         for s in range(depth):
             @pl.when(s < nxt_pages)
             def _():
@@ -332,6 +358,30 @@ def _decode_kernel_dma(
     m = m_ref[...]
     l = l_ref[...]
     acc = acc_ref[...]
+    if fresh:
+        # fold the current token's (k, v) as one extra online-softmax
+        # column (same merge as the sink below, but with a value row).
+        # The fresh row is quantized like the cache, so the descale folds
+        # (qk_scale, v_descale epilogue) apply to it identically.
+        from vllm_xpu_kernels_tpu.kernels.quant_matmul import fp8_upcast_f32
+
+        if spec["fp8_kv"]:
+            kn = fp8_upcast_f32(fresh_ref[0, :, :, :d]).astype(jnp.bfloat16)
+            vn = fp8_upcast_f32(fresh_ref[0, :, :, d:])
+        else:
+            kn = fresh_ref[0, :, :, :d].astype(jnp.bfloat16)
+            vn = fresh_ref[0, :, :, d:].astype(jnp.float32)
+        s_new = jax.lax.dot_general(
+            q, kn, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * qk_scale   # [hkv, g, 1]
+        if spec["softcap"]:
+            s_new = spec["softcap_mult"] * jnp.tanh(s_new / spec["softcap"])
+        m_f = jnp.maximum(jnp.maximum(m, s_new), _NEG)
+        corr = ex(m - m_f)
+        p_new = ex(s_new - m_f)                              # [hkv, g, 1]
+        l = l * corr + p_new
+        acc = acc * corr + p_new * vn                        # [hkv, g, dv]
+        m = m_f
     if spec["fp8_kv"]:
         acc = acc * descale_ref[0, 1]    # v_descale folded out of the loop
     if spec["has_sink"]:
@@ -348,10 +398,15 @@ def _decode_kernel_dma(
 def _paged_decode_dma(
     q, k_cache, v_cache, seqused_k, block_table, *,
     scale, window, softcap, sink, k_descale, v_descale, max_seqlen_k,
+    fresh_kv=None,
 ):
     """Sequence-grid decode with kernel-managed page DMAs.
     ``v_cache=None`` selects the fused layout: ``k_cache`` is
     [nb, Hkv, bs, Dk+Dv] with K in [..., :Dk] (one DMA per page).
+    ``fresh_kv`` (fused only): [B, Hkv, Dk+Dv] quantized current-token
+    row — folded into the online-softmax epilogue instead of being read
+    back from the cache (see _decode_kernel_dma); ``seqused_k`` then
+    INCLUDES the fresh token.  The caller owns the cache-row scatter.
     -> (out [B, Hkv, G, Dv], lse [B, Hkv, G, 1])."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -375,31 +430,41 @@ def _paged_decode_dma(
                     jnp.float32).reshape(()),
     ]).reshape(1, 2)
 
+    fresh = fresh_kv is not None
+    assert not fresh or fused, "fresh_kv requires the fused page layout"
     spec = dict(
         bs=bs,
         window_left=int(window[0]), has_sink=sink is not None,
         fp8_kv=k_cache.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2),
-        depth=depth, fused=fused, d=d, **exp_spec,
+        depth=depth, fused=fused, fresh=fresh, d=d, **exp_spec,
     )
 
     cache_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (1 if fused else 2)
+    fresh_specs, fresh_in = [], ()
     if fused:
         bufs = [pltpu.VMEM((depth, hkv, bs, d + dv), k_cache.dtype)]
         sems = [pltpu.SemaphoreType.DMA((depth,))]
+        if fresh:
+            assert fresh_kv.dtype == k_cache.dtype, (
+                "fresh_kv must be pre-quantized to the cache dtype")
+            fresh_specs = [pl.BlockSpec((1, hkv, 1, d + dv),
+                                        lambda b, *_: (b, 0, 0, 0))]
+            fresh_in = (fresh_kv.reshape(b_, hkv, 1, d + dv),)
     else:
         bufs = [pltpu.VMEM((depth, hkv, bs, d), k_cache.dtype),
                 pltpu.VMEM((depth, hkv, bs, dv), v_cache.dtype)]
         sems = [pltpu.SemaphoreType.DMA((depth,)),
                 pltpu.SemaphoreType.DMA((depth,))]
+    prefetch = [seqused_k.astype(jnp.int32), block_table.astype(jnp.int32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(prefetch),
         grid=(b_,),
         in_specs=[
             pl.BlockSpec((hkv, g, 1), lambda b, *_: (0, 0, 0)),   # sink
             pl.BlockSpec((1, 2), lambda b, *_: (0, 0),
                          memory_space=pltpu.SMEM),                # descale
             pl.BlockSpec((1, hkv, g, d), lambda b, *_: (b, 0, 0, 0)),
-        ] + cache_specs,
+        ] + fresh_specs + cache_specs,
         out_specs=[
             pl.BlockSpec((1, hkv, g, dv), lambda b, *_: (b, 0, 0, 0)),
             pl.BlockSpec((1, hkv, g, 1), lambda b, *_: (b, 0, 0, 0)),
@@ -411,7 +476,7 @@ def _paged_decode_dma(
         ] + sems,
     )
     caches = (k_cache,) if fused else (k_cache, v_cache)
-    return pl.pallas_call(
+    res = pl.pallas_call(
         functools.partial(_decode_kernel_dma, spec),
         grid_spec=grid_spec,
         out_shape=[
@@ -422,8 +487,8 @@ def _paged_decode_dma(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret_mode(),
-    )(seqused_k.astype(jnp.int32), block_table.astype(jnp.int32),
-      sink_arr, desc, q4, *caches)
+    )(*prefetch, sink_arr, desc, q4, *fresh_in, *caches)
+    return tuple(res)
 
 
 def paged_decode(
@@ -442,13 +507,23 @@ def paged_decode(
     max_seqlen_k: int,
     num_splits_kv: int = 0,       # accepted for parity; see module doc
     pages_per_step: Optional[int] = None,
+    fresh_kv: Optional[jax.Array] = None,
+    fresh_slots: Optional[jax.Array] = None,
 ):
-    """-> (out [B, Hq, Dv], lse [Hq, B]).
+    """-> (out [B, Hq, Dv], lse [Hq, B][, new kv_cache]).
 
     ``v_cache=None`` selects the fused page layout (``k_cache`` is
     [nb, Hkv, bs, Dk+Dv]): the dma impl copies each page with ONE async
     DMA; the pipelined impl reads K/V as two last-dim blocks of the same
-    array (requires Dk == Dv)."""
+    array (requires Dk == Dv).
+
+    ``fresh_kv`` (fused layout only): [B, Hkv, Dk+Dv] quantized
+    current-token row, ``seqused_k`` counting it, written at cache slot
+    ``fresh_slots[b]`` (negative = skip).  The dma kernel folds it into
+    the attention epilogue and writes the cache row itself (in-place
+    alias) — the third return value.  When the dma kernel isn't
+    eligible, the row is scattered first (same semantics, one extra XLA
+    scatter on the critical path)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -461,6 +536,8 @@ def paged_decode(
     if fused:
         assert d % 128 == 0 and dv % 128 == 0, (
             "fused KV layout needs lane-aligned head sizes")
+    assert fresh_kv is None or fused, \
+        "fresh_kv requires the fused page layout"
 
     from vllm_xpu_kernels_tpu.envs import VXK_DECODE_IMPL
     # The dma kernel's manual HBM page slices need lane-aligned trailing
@@ -468,11 +545,35 @@ def paged_decode(
     # sizes (MLA 192/576, tiny test heads) take the pipelined kernel.
     dma_ok = (d % 128 == 0 and dv % 128 == 0 and bs % 8 == 0)
     if dma_ok and VXK_DECODE_IMPL() == "dma" and pages_per_step is None:
-        out, lse4 = _paged_decode_dma(
+        res = _paged_decode_dma(
             q, k_cache, v_cache, seqused_k, block_table, scale=scale,
             window=window, softcap=softcap, sink=sink, k_descale=k_descale,
-            v_descale=v_descale, max_seqlen_k=max_seqlen_k)
-        return out.reshape(b_, hq, dv), lse4.reshape(b_, hq).T
+            v_descale=v_descale, max_seqlen_k=max_seqlen_k,
+            fresh_kv=fresh_kv)
+        out, lse4 = res[0], res[1]
+        out = out.reshape(b_, hq, dv)
+        lse = lse4.reshape(b_, hq).T
+        if fresh_kv is None:
+            return out, lse
+        # the scatter now has no consumer until the NEXT decode step, so
+        # XLA schedules it off the critical path (overlapped with the
+        # following layers' work) and updates the donated buffer in place
+        from vllm_xpu_kernels_tpu.ops.cache import scatter_fused_rows
+
+        new_cache = scatter_fused_rows(k_cache, fresh_kv, fresh_slots)
+        return out, lse, new_cache
+    if fresh_kv is not None:
+        # pipelined kernel / exotic shapes: scatter the fresh row first
+        # (the reference ordering), then attend over the full length.
+        from vllm_xpu_kernels_tpu.ops.cache import scatter_fused_rows
+
+        k_cache = scatter_fused_rows(k_cache, fresh_kv, fresh_slots)
+        out, lse = paged_decode(
+            q, k_cache, None, cu_seqlens_q, seqused_k, block_table,
+            scale=scale, window=window, softcap=softcap, sink=sink,
+            k_descale=k_descale, v_descale=v_descale,
+            max_seqlen_k=max_seqlen_k, pages_per_step=pages_per_step)
+        return out, lse, k_cache
     if fused:
         assert d == dv, ("the pipelined decode kernel reads a fused cache "
                          "as two equal last-dim blocks; Dk must equal Dv")
@@ -610,10 +711,17 @@ def _prefill_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    # fp8 KV: k_descale folds into the logits scale, v_descale into the
+    # epilogue accumulator — the per-tile chain stays a pure upcast+cast.
+    qk_scale = (spec["scale"] * descale_ref[0, 0] if spec["fp8_kv"]
+                else spec["scale"])
     # bf16 matmul operands, f32 accumulation: f32 x f32 runs at a
-    # fraction of the MXU's bf16 rate (measured 15 vs 100+ TFLOPS here);
-    # the scale multiply stays in f32 on the accumulated logits.
-    q = q_ref[0, 0].astype(jnp.bfloat16)                 # [g, bq, D]
+    # fraction of the MXU's bf16 rate (measured 15 vs 100+ TFLOPS here).
+    # The QK scale folds into q BEFORE the bf16 cast (scaling doesn't
+    # change float relative precision) — saves one full f32 VPU pass
+    # over the staged [g, bq, P*bkv] logits per page.
+    q = (q_ref[0, 0].astype(jnp.float32)
+         * qk_scale).astype(jnp.bfloat16)                # [g, bq, D]
     off = kv_len - q_len
     qpos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (g, bq, bkv), 1)
 
@@ -636,12 +744,6 @@ def _prefill_kernel(
     windowed = spec["window_left"] >= 0 or spec["window_right"] >= 0
     q_full = (iq + 1) * bq <= q_len
 
-    # fp8 KV: k_descale folds into the logits scale, v_descale into the
-    # epilogue accumulator — the per-tile chain stays a pure upcast+cast
-    # (scalars apply post-dot in f32; numerics only improve).
-    qk_scale = (spec["scale"] * descale_ref[0, 0] if spec["fp8_kv"]
-                else spec["scale"])
-
     def stage_tile(p, jt, masked):
         from vllm_xpu_kernels_tpu.kernels.quant_matmul import (
             fp8_upcast_f32)
@@ -654,7 +756,7 @@ def _prefill_kernel(
             v = v_refs[p][0, 0].astype(jnp.bfloat16)         # [bkv, Dv]
         s = jax.lax.dot_general(
             q, k, (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * qk_scale
+            preferred_element_type=jnp.float32)          # scale folded in q
         if spec["softcap"]:
             s = spec["softcap_mult"] * jnp.tanh(s / spec["softcap"])
         if masked:
@@ -793,10 +895,23 @@ def chunk_prefill(
         kv_lens = (cu_seqlens_k[1:] - cu_seqlens_k[:-1]).astype(jnp.int32)
         tbl = jnp.zeros((batch, 1), jnp.int32)
 
-    # KV tiles per grid step (multi-page steps amortize the per-step
-    # pipeline cost; cap VMEM at ~1 MB of KV tiles per buffered stage).
+    # KV tiles per grid step: wide steps amortize the staged
+    # online-softmax update (ONE max/exp/sum/rescale pass per step over
+    # [g, bq, P*bkv] — the VPU work that bounds prefill attention; P=4 ->
+    # 8 measured 1.20 -> 1.05 ms/layer on 4x1024 Llama-3-8B shapes).
+    # VMEM caps: staged f32 logits <= 4 MB, double-buffered K+V operand
+    # blocks <= 4 MB (P=16 at 8 MB staged compiled for short prompts but
+    # blew the 16 MB scoped limit at 4k).
+    from vllm_xpu_kernels_tpu.envs import VXK_PREFILL_PAGES_PER_STEP
+
     tile_bytes = bkv * (d + dv) * k.dtype.itemsize
-    pages = max(1, min(n_kv_tiles, 1024 * 1024 // max(tile_bytes, 1), 4))
+    sbuf_page_bytes = g * bq * bkv * 4
+    pages = VXK_PREFILL_PAGES_PER_STEP() or max(
+        1, min(n_kv_tiles,
+               4 * 1024 * 1024 // max(sbuf_page_bytes, 1),
+               4 * 1024 * 1024 // max(4 * tile_bytes, 1),
+               16))
+    pages = min(pages, n_kv_tiles)
     n_kv_steps = _cdiv(n_kv_tiles, pages)
 
     # pad q per-seq, grouped by KV head: [B, Hkv, G, Qp, D]

@@ -27,7 +27,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from vllm_xpu_kernels_tpu import ops
+from vllm_xpu_kernels_tpu import envs, ops
 from vllm_xpu_kernels_tpu.parallel.mesh import tp_psum
 
 
@@ -476,6 +476,29 @@ def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
                 k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l, vc_l,
                 block_table, cu_q, max_q, kv_cache_dtype=kv_dt,
                 k_scale=k_scale, v_scale=v_scale)
+    elif fused and max_q == 1 and envs.VXK_DECODE_FRESH_KV():
+        # opt-in decode path: hand the quantized current-token row
+        # straight to the attention kernel (epilogue fold) so the cache
+        # scatter has no same-step consumer (ops.attention
+        # flash_attn_varlen_func fresh_kv).  Default-off: measured
+        # neutral-to-slower on v5e (the step is core-time bound).
+        from vllm_xpu_kernels_tpu.ops.cache import quantize_for_kv_cache
+
+        kq = quantize_for_kv_cache(
+            k.reshape(t, hkv, d), kv_dt, k_scale, kc_l.dtype)
+        vq = quantize_for_kv_cache(
+            v.reshape(t, hkv, d), kv_dt, v_scale, kc_l.dtype)
+        attn, kc_l = ops.flash_attn_varlen_func(
+            q.reshape(t, hq, d), kc_l, None, max_q, cu_q, max_k,
+            seqused_k=kv_lens, block_table=block_table, causal=True,
+            kv_layout="fused", k_descale=k_scale, v_descale=v_scale,
+            window_size=window, s_aux=lp.get("sinks"),
+            fresh_kv=jnp.concatenate([kq, vq], axis=-1),
+            fresh_slots=slot_mapping)
+        out = _linear(attn.reshape(t, hq * d), lp["wo"], tp_axis,
+                      reduce_out=True,
+                      lora=_lora_for(lora_layer, "wo", lora_idx))
+        return out, kc_l, vc_l
     elif fused:
         kc_l = ops.reshape_and_cache_tpu_fused(
             k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l,

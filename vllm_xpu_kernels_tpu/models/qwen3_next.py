@@ -203,20 +203,34 @@ def _gated_attention_block(cfg, lp, x, positions, rope, kc_l, vc_l,
     q = qkv[:, : hq * d]
     k = qkv[:, hq * d: (hq + hkv) * d]
     v = qkv[:, (hq + hkv) * d:]
+    from vllm_xpu_kernels_tpu import envs
     fused = vc_l is None
-    if fused:
-        kc_l = ops.reshape_and_cache_tpu_fused(
-            k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l,
-            slot_mapping, kv_cache_dtype="auto")
+    if fused and max_q == 1 and envs.VXK_DECODE_FRESH_KV():
+        # opt-in: epilogue-folded fresh row, dependency-free scatter
+        # (see models/llama.py _attention_block)
+        attn, kc_l = ops.flash_attn_varlen_func(
+            q.reshape(t, hq, d), kc_l, None,
+            max_seqlen_q=max_q, cu_seqlens_q=cu_q, max_seqlen_k=max_k,
+            seqused_k=kv_lens, block_table=block_table, causal=True,
+            kv_layout="fused",
+            fresh_kv=jnp.concatenate(
+                [k.reshape(t, hkv, d), v.reshape(t, hkv, d)],
+                axis=-1).astype(kc_l.dtype),
+            fresh_slots=slot_mapping)
     else:
-        kc_l, vc_l = ops.reshape_and_cache_tpu(
-            k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l, vc_l,
-            slot_mapping, kv_cache_dtype="auto")
-    attn = ops.flash_attn_varlen_func(
-        q.reshape(t, hq, d), kc_l, vc_l,
-        max_seqlen_q=max_q, cu_seqlens_q=cu_q, max_seqlen_k=max_k,
-        seqused_k=kv_lens, block_table=block_table, causal=True,
-        kv_layout="fused" if fused else "bhsd")
+        if fused:
+            kc_l = ops.reshape_and_cache_tpu_fused(
+                k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l,
+                slot_mapping, kv_cache_dtype="auto")
+        else:
+            kc_l, vc_l = ops.reshape_and_cache_tpu(
+                k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l, vc_l,
+                slot_mapping, kv_cache_dtype="auto")
+        attn = ops.flash_attn_varlen_func(
+            q.reshape(t, hq, d), kc_l, vc_l,
+            max_seqlen_q=max_q, cu_seqlens_q=cu_q, max_seqlen_k=max_k,
+            seqused_k=kv_lens, block_table=block_table, causal=True,
+            kv_layout="fused" if fused else "bhsd")
     attn = attn.reshape(t, hq * d)
     attn = attn * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(attn.dtype)
     return (L._linear(attn, lp["wo"], tp_axis, reduce_out=True),

@@ -243,6 +243,8 @@ def flash_attn_varlen_func(
     s_aux: Optional[jax.Array] = None,        # [Hq] attention sinks
     num_splits_kv: Optional[int] = None,
     kv_layout: str = "bshd",                  # paged cache layout, see below
+    fresh_kv: Optional[jax.Array] = None,     # [B, Hkv, Dk+Dv] new-token row
+    fresh_slots: Optional[jax.Array] = None,  # [B] cache slots (<0 = skip)
 ):
     """Varlen flash attention with optional paged KV — the reference's
     single public attention entry (flash_attn_interface.py:284,
@@ -255,6 +257,15 @@ def flash_attn_varlen_func(
     "bhsd" (TPU-native page layout [nb, Hkv, bs, D]), or "fused"
     (TPU-native fused pages [nb, Hkv, bs, Dk+Dv] — pass ``v=None``; one
     DMA per page in the decode kernel).
+
+    ``fresh_kv`` (decode + fused layout only): the current token's
+    quantized (K|V) row, with ``seqused_k`` counting it.  Instead of
+    requiring the row scattered into the cache *before* attention (the
+    reference's reshape_and_cache -> varlen_fwd ordering), the decode
+    kernel folds it into the online-softmax epilogue; the cache-row
+    scatter then has no same-step consumer, so XLA schedules it off the
+    decode critical path.  The updated cache is an ADDITIONAL (last)
+    return value.
     """
     assert (cu_seqlens_k is None) != (seqused_k is None), (
         "provide exactly one of cu_seqlens_k / seqused_k")
@@ -264,6 +275,10 @@ def flash_attn_varlen_func(
     if kv_layout == "fused":
         assert paged and v is None, (
             "kv_layout='fused' takes the fused paged cache as k (v=None)")
+    if fresh_kv is not None:
+        assert paged and max_seqlen_q == 1 and kv_layout == "fused", (
+            "fresh_kv is a decode fast path over the fused page layout")
+        assert fresh_slots is not None, "fresh_kv requires fresh_slots"
     if softmax_scale is None:
         softmax_scale = q.shape[-1] ** -0.5
     window = (-1, -1) if window_size is None else tuple(window_size)
@@ -285,13 +300,20 @@ def flash_attn_varlen_func(
             k = k.transpose(0, 2, 1, 3)
             v = v.transpose(0, 2, 1, 3)
         if paged and max_seqlen_q == 1:
-            out, lse = fa.paged_decode(
+            res = fa.paged_decode(
                 q, k, v, cu_seqlens_q, seqused_k, block_table,
                 scale=softmax_scale, window=window, softcap=softcap,
                 sink=s_aux, k_descale=k_descale, v_descale=v_descale,
                 max_seqlen_k=max_seqlen_k,
                 num_splits_kv=num_splits_kv or 0,
+                fresh_kv=fresh_kv, fresh_slots=fresh_slots,
             )
+            out, lse = res[0], res[1]
+            if fresh_kv is not None:
+                out = out.astype(in_dtype)
+                if return_softmax_lse:
+                    return out, lse, res[2]
+                return out, res[2]
         else:
             out, lse = fa.chunk_prefill(
                 q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, block_table,
@@ -306,6 +328,14 @@ def flash_attn_varlen_func(
         return out
 
     # ---- jnp reference path --------------------------------------------
+    new_cache = None
+    if fresh_kv is not None:
+        # reference semantics: scatter the quantized row first, attend
+        # over the full length (what the kernel fast path fuses away)
+        from vllm_xpu_kernels_tpu.ops.cache import scatter_fused_rows
+
+        k = scatter_fused_rows(k, fresh_kv, fresh_slots)
+        new_cache = k
     if paged and kv_layout == "fused":
         d = q.shape[-1]
         k, v = k[..., :d], k[..., d:]
@@ -335,8 +365,8 @@ def flash_attn_varlen_func(
     out = out_pad[seq_of_row, pos_of_row].astype(q.dtype)
     if return_softmax_lse:
         lse = lse_pad[seq_of_row, :, pos_of_row].T  # [Hq, total_q]
-        return out, lse
-    return out
+        return (out, lse, new_cache) if new_cache is not None else (out, lse)
+    return (out, new_cache) if new_cache is not None else out
 
 
 def _row_maps(cu_seqlens_q, total_q, batch):

@@ -166,6 +166,28 @@ def reshape_and_cache_tpu_fused(
     return flat.reshape(kv_cache.shape)
 
 
+def quantize_for_kv_cache(x, kv_cache_dtype, scale, cache_dtype):
+    """Quantize values exactly as the reshape_and_cache family would
+    before storing (helper for the fresh-KV decode fast path, which
+    hands pre-quantized rows straight to the attention kernel)."""
+    return _maybe_quant(x, kv_cache_dtype, scale).astype(cache_dtype)
+
+
+def scatter_fused_rows(kv_cache, kv_rows, slot_mapping):
+    """Scatter pre-quantized fused (K|V) rows [B, H, hs] into the fused
+    page layout at ``slot_mapping`` (negative = skip) — the scatter twin
+    of the decode kernel's in-kernel row write.  Returns kv_cache."""
+    nb, h, bs, hs = kv_cache.shape
+    idx = _slots(slot_mapping, nb * bs)
+    rows = (idx[:, None] // bs * (h * bs) + jnp.arange(h)[None, :] * bs
+            + idx[:, None] % bs)
+    rows = jnp.where((idx < nb * bs)[:, None], rows, nb * h * bs)
+    flat = kv_cache.reshape(nb * h * bs, hs)
+    flat = flat.at[rows].set(kv_rows.astype(kv_cache.dtype), mode="drop",
+                             unique_indices=True)
+    return flat.reshape(kv_cache.shape)
+
+
 @register_op("reshape_and_cache_tpu_prefill", "cache")
 def reshape_and_cache_tpu_prefill(
     key: jax.Array,              # [T, H, hs] packed varlen
