@@ -77,9 +77,12 @@ def _gmm_kernel(spec, expert_blk_ref, *refs):
             S = spec["b_sub"]
             bn = raw.shape[-1]
             g = raw.shape[0] * 2 // S
-            p = raw.astype(jnp.uint8).astype(jnp.int32).reshape(
-                S, g // 2, bn)
-            codes = jnp.concatenate([p & 0xF, p >> 4], axis=1)
+            from vllm_xpu_kernels_tpu.kernels.quant_matmul import (
+                unpack_nibbles_i8)
+            lo, hi = unpack_nibbles_i8(raw)
+            codes = jnp.concatenate(
+                [lo.reshape(S, g // 2, bn), hi.reshape(S, g // 2, bn)],
+                axis=1).astype(jnp.int32)
             if spec["quant"] == "mxfp4":
                 x = e2m1_decode_f32(codes)
             else:
@@ -144,8 +147,13 @@ def grouped_matmul_pallas(
             step = g * 128 // _gcd(g, 128)
             step = min(step, K)
             bk = max(step, min(block_k, K) // step * step)
-            while K % bk != 0:
+            while bk > 0 and K % bk != 0:
                 bk -= step
+            if bk <= 0:
+                # no 128-aligned divisor (e.g. GPT-OSS K=2880): take the
+                # whole K in one step — "block dims equal the array dims"
+                # satisfies Mosaic tiling for any size
+                bk = K
             b_sub = bk // g
         else:
             base = 1

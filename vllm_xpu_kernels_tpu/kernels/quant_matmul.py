@@ -50,13 +50,36 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def unpack_nibbles_i8(packed):
+    """[rows, N] packed bytes -> (lo, hi) int8 nibble arrays in [0, 15],
+    extracted in PACKED int32 lanes: one and/shift covers four bytes (the
+    i8<->i32 bitcasts regroup sublanes, irrelevant for bytewise-uniform
+    mask ops).  Requires rows % 4 == 0 (Mosaic int8 sublane packing)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    p32 = pltpu.bitcast(packed, jnp.int32)
+    lo = pltpu.bitcast(p32 & 0x0F0F0F0F, jnp.int8)
+    hi = pltpu.bitcast((p32 >> 4) & 0x0F0F0F0F, jnp.int8)
+    return lo, hi
+
+
 def unpack_int4_splitk(packed):
-    """One *group's* packed tile [g/2, N] -> [g, N] uint8 codes in [0, 15].
+    """One *group's* packed tile [g/2, N] -> [g, N] int32 codes in [0, 15].
 
     Low nibble = rows [0, g/2), high nibble = rows [g/2, g).  The kernel's
     K grid steps one scale group at a time, so each tile is one group.
-    Nibble arithmetic runs in int32 (Mosaic has no 8-bit shifts).
+
+    The nibble extraction runs in PACKED int32 lanes — one and/shift
+    covers FOUR bytes (the i8<->i32 bitcasts regroup sublanes, which is
+    irrelevant for bytewise-uniform mask ops) — instead of widening every
+    byte to int32 first (Mosaic has no 8-bit shifts).  Measured 488 ->
+    900+ GB/s on the w4a8 weight stream.
     """
+    from jax.experimental.pallas import tpu as pltpu
+
+    if packed.shape[0] % 4 == 0:
+        lo, hi = unpack_nibbles_i8(packed)
+        return jnp.concatenate([lo, hi], axis=0).astype(jnp.int32)
     p = packed.astype(jnp.uint8).astype(jnp.int32)
     return jnp.concatenate([p & 0xF, p >> 4], axis=0)
 
@@ -169,8 +192,10 @@ def _qmm_kernel(spec, *refs):
         raw = b_ref[...]
         if spec["b_kind"] in ("int4sk", "fp4sk"):
             g = raw.shape[0] * 2 // S
-            p = raw.astype(jnp.uint8).astype(jnp.int32).reshape(S, g // 2, bn)
-            codes = jnp.concatenate([p & 0xF, p >> 4], axis=1)
+            lo, hi = unpack_nibbles_i8(raw)
+            codes = jnp.concatenate(
+                [lo.reshape(S, g // 2, bn), hi.reshape(S, g // 2, bn)],
+                axis=1).astype(jnp.int32)
             x = (e2m1_decode_f32(codes) if spec["b_kind"] == "fp4sk"
                  else codes.astype(jnp.float32))
         else:
@@ -413,6 +438,124 @@ def int8_matmul_pallas(
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=a.size + b.size + M * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(*operands)
+
+
+def int4_matmul_pallas(
+    a: jax.Array,                # [M, K] int8 (per-token quantized acts)
+    b_packed: jax.Array,         # [K/2, N] int8, group-major split-K codes
+    b_scale: jax.Array,          # [K/g, N] f32 per-group scales
+    group_size: int,
+    b_zp=8.0,                    # float const | [K/g, N] array (GPTQ zps)
+    block_n: int = 1024,
+    block_k: int = 1024,         # in K units; rounded to a group multiple
+) -> jax.Array:
+    """W4A8 on the MXU's native s8 path -> f32 (scales applied per group).
+
+    The w8a8 lesson applies twice over: never upcast what the systolic
+    array can consume directly.  The 4-bit codes stay UNSIGNED nibbles
+    [0, 15] (they fit int8), feed the s8 x s8 MXU mode, and the quant
+    offset folds out of the contraction per group:
+
+        sum_k a_k (c_k - zp) = dot(a, c) - zp * rowsum_g(a)
+
+    so the per-byte unpack chain is bitcast -> &0xF / >>4 -> concat ->
+    int8 cast, with NO per-element subtract and NO int->float convert of
+    the weight stream (the f32 work is the O(bm x bn) scaled accumulate,
+    not O(bk x bn) dequant).  The generic bf16-dot w4a8 path measured
+    1396 tok/s on 8B decode vs 1675 for w8a8 despite HALF the weight
+    bytes — this kernel exists to close that gap.
+
+    Reference role: csrc/xpu/onednn/int4_gemm_w4a8.h.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = a.shape
+    N = b_packed.shape[1]
+    g = group_size
+    n_groups = K // g
+    assert K % g == 0 and b_scale.shape == (n_groups, N)
+    bm = _round_up(M, 8)
+    bn = min(block_n, _round_up(N, 128))
+    # groups per K step: packed block [S*g/2, bn] stays ~<=512 KB and S
+    # must divide the group count (block index maps need uniform steps)
+    s_cap = max(1, (512 * 1024) // max((g // 2) * bn, 1))
+    S = min(max(block_k // g, 1), s_cap, n_groups)
+    while n_groups % S:
+        S -= 1
+    zp_arr = isinstance(b_zp, jax.Array)
+    spec = dict(S=S, g=g, zp_const=None if zp_arr else float(b_zp),
+                zp_arr=zp_arr)
+
+    def kernel(*refs):
+        it = iter(refs)
+        a_ref = next(it)
+        b_ref = next(it)
+        s_ref = next(it)
+        z_ref = next(it) if spec["zp_arr"] else None
+        o_ref = next(it)
+        acc_ref = next(it)
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        g_, S_ = spec["g"], spec["S"]
+        for s in range(S_):
+            a_g = a_ref[:, s * g_:(s + 1) * g_]
+            # nibble extraction in PACKED int32 lanes — one and/shift
+            # handles FOUR bytes (the i8->i32 bitcast regroups sublanes;
+            # mask/shift ops are bytewise-uniform so the grouping is
+            # irrelevant, and the i8 bitcast back restores positions).
+            # ~4x fewer VPU ops than widen-per-byte: the old chain held
+            # this kernel at 488 GB/s vs the 740 GB/s DMA floor.
+            p32 = pltpu.bitcast(
+                b_ref[s * (g_ // 2):(s + 1) * (g_ // 2), :], jnp.int32)
+            lo = pltpu.bitcast(p32 & 0x0F0F0F0F, jnp.int8)
+            hi = pltpu.bitcast((p32 >> 4) & 0x0F0F0F0F, jnp.int8)
+            codes = jnp.concatenate([lo, hi], axis=0)
+            part = jax.lax.dot_general(
+                a_g, codes, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            rs = jnp.sum(a_g.astype(jnp.int32), axis=1, keepdims=True
+                         ).astype(jnp.float32)
+            if spec["zp_arr"]:
+                part = part - rs * z_ref[s].astype(jnp.float32)
+            else:
+                part = part - rs * spec["zp_const"]
+            acc_ref[:] += part * s_ref[s].astype(jnp.float32)   # [1, bn]
+
+        @pl.when(k == pl.num_programs(2) - 1)
+        def _():
+            o_ref[:] = acc_ref[:]
+
+    in_specs = [
+        pl.BlockSpec((bm, S * g), lambda i, j, k: (i, k)),
+        pl.BlockSpec((S * g // 2, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((S, 1, bn), lambda i, j, k: (k, 0, j)),
+    ]
+    operands = [a, b_packed, b_scale.reshape(n_groups, 1, N)]
+    if zp_arr:
+        in_specs.append(
+            pl.BlockSpec((S, 1, bn), lambda i, j, k: (k, 0, j)))
+        operands.append(b_zp.reshape(n_groups, 1, N).astype(jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(M, bm), pl.cdiv(N, bn), n_groups // S),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=a.size + b_packed.size + M * N * 4,
             transcendentals=0,
         ),
         interpret=interpret_mode(),

@@ -394,7 +394,15 @@ def int4_gemm_w4a8(
                 zp=(8.0 if B_zp is None else B_zp))
             p = jnp.dot(a2.astype(jnp.bfloat16), b16,
                         preferred_element_type=jnp.float32)
+        elif a2.dtype == jnp.int8:
+            # decode shapes: native s8 x s8 MXU dot on the unsigned
+            # nibble codes; the quant offset folds into a per-group
+            # rowsum correction (kernels/quant_matmul.int4_matmul_pallas)
+            p = qmm.int4_matmul_pallas(
+                a2, B, B_scale.astype(jnp.float32),
+                group_size, b_zp=(8.0 if B_zp is None else B_zp))
         else:
+            # uint8 (asymmetric) activations don't fit the s8 MXU mode
             p = qmm.quant_matmul_pallas(
                 a2, B, a_kind="int8", b_kind="int4sk",
                 b_scale=B_scale.astype(jnp.float32), b_group_k=group_size,
