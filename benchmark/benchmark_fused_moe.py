@@ -31,6 +31,8 @@ def main():
                     choices=["none", "fp8_channel", "w8a8", "mxfp4"])
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke/CI)")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one timed run")
     args = ap.parse_args()
 
     if args.cpu:
@@ -110,6 +112,17 @@ def main():
         return (x * 0.999 + y * 1e-3).astype(x.dtype), w13, w2
 
     tsec = bench_op(step, fb, (x, w13, w2))
+    if args.trace:
+        from utils import profile_trace
+        import jax as _jax
+
+        loop = _jax.jit(lambda c: fb(step(c), c))
+        c = loop((x, w13, w2))
+        _ = np.asarray(c[0].ravel()[0:1])
+        with profile_trace(args.trace):
+            for _i in range(8):
+                c = loop(c)
+            _ = np.asarray(c[0].ravel()[0:1])
     # tokens route to topk experts; all-expert weight read upper-bounds
     print(report_row(f"fused_moe t={t}", tsec, bytes_moved=wbytes,
                      peak_gbps=p["hbm_gbps"]))

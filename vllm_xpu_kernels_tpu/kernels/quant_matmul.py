@@ -134,6 +134,83 @@ def e2m1_decode_f32(code):
     return sign * mag
 
 
+def e2m1_decode_bits_f32(c):
+    """e2m1 decode by integer assembly of the f32 bit pattern — no exp2,
+    no f32 arithmetic: sign<<31 | (126+e)<<23 | m<<22 for normals, the
+    e==0 row handled by a select (0 or 0.5).  ~half the vector ops of
+    :func:`e2m1_decode_f32`; bit-exact against it for all 16 codes.
+
+    c: int32 array of 4-bit codes in [0, 15].
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    e = (c >> 1) & 0x3
+    m = c & 0x1
+    sgn = (c & 0x8) << 28
+    bits = jnp.where(e == 0, m * 0x3F000000, ((126 + e) << 23) + (m << 22))
+    return pltpu.bitcast(sgn | bits, jnp.float32)
+
+
+def packed_plane_to_bf16(raw, plane, kind):
+    """One nibble plane of packed int4/fp4 bytes -> bf16 values, built by
+    integer assembly of bf16 PAIRS inside i32 lanes — no per-element
+    widening, no f32 arithmetic, ~7 integer ops per element (every op is
+    halfword-uniform, so four packed codes are processed per i32 lane op).
+
+    - ``kind='int4'``: codes c in [0,15] -> bf16(c - 8) EXACTLY via the
+      magic-number trick: 0x4300 | c bitcasts to 128 + c (c rides the
+      bf16 mantissa), then subtract 136.
+    - ``kind='mxfp4'``: e2m1 decode: sign<<15 | (126+e)<<7 | m<<6, with
+      the mantissa bit suppressed when e == 0 and the +-0 row zeroed by
+      halfword masks built from (code & 7) != 0.
+
+    raw: [pb, bn] int8 packed bytes (pb % 4 == 0); plane: 0 = low nibble,
+    4 = high.  Returns [pb, bn] bf16 in "sigma order": out row j holds the
+    code of packed row ``4*(jj//2) + 2*(j // (pb/2)) + jj%2`` where
+    ``jj = j % (pb/2)`` — the caller folds sigma into its activation
+    column permutation (the MXU dot is order-invariant over K) and its
+    scale-group reshape, so the order never needs fixing up in VMEM.
+    Assumes little-endian sublane<->byte bitcast order (verified against
+    the jnp reference on real v5e hardware by the grouped-GEMM tests).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    p32 = pltpu.bitcast(raw, jnp.int32)          # [pb/4, bn]
+    q = (p32 >> plane) & 0x0F0F0F0F if plane else p32 & 0x0F0F0F0F
+
+    if kind == "int4":
+        def halves(p):
+            qh = (q >> p) & 0x00FF00FF
+            return qh | 0x43004300
+    else:
+        # bytewise-shared prep: 4 codes per op.  T = em + (e != 0), so
+        # that (T + 0xFB) << 6 is the bf16 exp|mant field: the e2m1 field
+        # values 252,254,255,256..259 are affine in em except the e==0
+        # step, which (e != 0) supplies; m<<6 suppression at e==0 and
+        # the 0.5 subnormal both fall out of the same affine form.
+        u = (q >> 1) | (q >> 2)
+        tb = (q & 0x07070707) + (u & 0x01010101)
+        nzb = (q | u) & 0x01010101
+        sgb = q & 0x08080808
+
+        def halves(p):
+            th = (tb >> p) & 0x00FF00FF
+            bits = (th + 0x00FB00FB) << 6
+            nzm = ((nzb >> p) & 0x00010001) * 0x0000FFFF
+            sg = ((sgb >> p) & 0x00080008) << 12
+            return (bits & nzm) | sg
+
+    be = halves(0)
+    bo = halves(8)
+    out_a = (be & 0x0000FFFF) | (bo << 16)       # bf16(c0) | bf16(c1)<<16
+    out_b = ((be >> 16) & 0x0000FFFF) | (bo & ~0x0000FFFF)
+    out32 = jnp.concatenate([out_a, out_b], axis=0)      # [pb/2, bn]
+    vals = pltpu.bitcast(out32, jnp.bfloat16)            # [pb, bn]
+    if kind == "int4":
+        vals = vals - jnp.bfloat16(136.0)
+    return vals
+
+
 def _to_mxu_operand(tile, kind, zp, mm_dtype):
     """Raw storage tile -> MXU-ready values (packed kinds unpack along
     sublanes; zp is a [1, bn] ref slice or float const, subtracted pre-dot)."""

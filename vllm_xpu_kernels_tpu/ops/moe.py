@@ -449,35 +449,57 @@ def tpu_fused_moe(
         ids = topk_ids.astype(jnp.int32)
         if expert_map is not None:
             ids = expert_map[ids]
+        numel = t * k
+        buckets = e_local + (1 if expert_map is not None else 0)
+        # decode-sized batches take thin M-blocks: each routed expert's
+        # weights stream once regardless, but every elementwise pass
+        # (act, quant, reduce) is O(R) and R = blocks * bm.  The 2x
+        # headroom over a uniform split tolerates moderate routing skew
+        # (a hot expert overflowing into a second block re-streams its
+        # weights once).
+        bm = min(block_m, max(32, _cdiv(_cdiv(2 * numel, e_local), 32) * 32))
         sorted_ids, expert_blk, total = moe_align_block_size(
-            jnp.where(ids >= 0, ids, e_local), e_local + (
-                1 if expert_map is not None else 0), block_m,
+            jnp.where(ids >= 0, ids, e_local), buckets, bm,
             pad_sorted_ids=True)
         if expert_map is not None:
             # drop the trailing overflow bucket for non-local tokens
             expert_blk = jnp.where(expert_blk >= e_local, -1, expert_blk)
-        rp = sorted_ids.shape[0]
+        # tight static cap: sum_e cdiv(c_e, bm) <= cdiv(numel, bm) +
+        # nonzero_buckets - 1, usually well under moe_align's worst-case
+        # allocation — fewer M-blocks is fewer expert weight streams
+        cap = min(expert_blk.shape[0],
+                  _cdiv(numel, bm) + min(buckets, numel) - 1)
+        sorted_ids = sorted_ids[:cap * bm]
+        expert_blk = expert_blk[:cap]
+        # alignment-tail blocks go invalid: the kernel freezes their
+        # operand DMAs and skips their compute
+        blk_start = jnp.arange(cap, dtype=jnp.int32) * bm
+        expert_blk = jnp.where(blk_start < total[0], expert_blk, -1)
         src_rows = jnp.clip(sorted_ids // k, 0, t - 1)
         a_sorted = jnp.take(hidden_states, src_rows, axis=0)
+        # routing weights fold into the second GEMM's epilogue
+        flat = jnp.clip(sorted_ids, 0, t * k)     # t*k == padding sentinel
+        wflat = jnp.concatenate(
+            [topk_weights.reshape(-1).astype(jnp.float32),
+             jnp.zeros((1,), jnp.float32)])[flat]
         if quant == "w8a8":
             # per-token int8 activations feed the native s8 MXU path;
-            # the token scales factor out to an O(R*N) epilogue
+            # the token scales factor out to the in-kernel epilogue
             from vllm_xpu_kernels_tpu.ops.quant import (
                 dynamic_per_token_scaled_int8_quant as _a8)
 
+            if w13_bias is not None:
+                raise NotImplementedError("w8a8 MoE bias")
             aq, a_s = _a8(a_sorted)
             g1 = gmm.grouped_matmul_pallas(
                 aq, w13, expert_blk,
                 scales=w13_scales, bias=None, quant=quant,
-                block_m=block_m, out_dtype=jnp.float32)
-            g1 = g1 * a_s[:, None]
-            if w13_bias is not None:
-                raise NotImplementedError("w8a8 MoE bias")
+                row_scales=a_s, block_m=bm, out_dtype=jnp.bfloat16)
         else:
             g1 = gmm.grouped_matmul_pallas(
                 a_sorted, w13, expert_blk,
                 scales=w13_scales, bias=w13_bias, quant=quant,
-                group_size=group_size, block_m=block_m,
+                group_size=group_size, block_m=bm,
                 out_dtype=hidden_states.dtype)
         if gemm1_clamp_limit is not None and gemm1_clamp_limit > 0:
             inter = inter2 // 2
@@ -485,29 +507,32 @@ def tpu_fused_moe(
             up = jnp.clip(g1[:, inter:], -gemm1_clamp_limit,
                           gemm1_clamp_limit)
             g1 = jnp.concatenate([gate, up], axis=-1)
-        a2 = act(g1)
         if quant == "w8a8":
-            a2q, a2_s = _a8(a2.astype(jnp.bfloat16))
+            if activation == "silu" and gemm1_clamp_limit is None:
+                # one fused Pallas pass: gated act + per-token int8 quant
+                from vllm_xpu_kernels_tpu.ops.activation import (
+                    silu_and_mul_per_token_quant)
+
+                a2q, a2_s = silu_and_mul_per_token_quant(g1)
+            else:
+                a2q, a2_s = _a8(act(g1).astype(jnp.bfloat16))
             g2 = gmm.grouped_matmul_pallas(
                 a2q, w2, expert_blk,
                 scales=w2_scales, bias=None, quant=quant,
-                block_m=block_m, out_dtype=jnp.float32)
-            g2 = (g2 * a2_s[:, None]).astype(hidden_states.dtype)
+                row_scales=a2_s * wflat, block_m=bm,
+                out_dtype=jnp.float32)
         else:
+            a2 = act(g1)
             g2 = gmm.grouped_matmul_pallas(
                 a2, w2, expert_blk,
                 scales=w2_scales, bias=w2_bias, quant=quant,
-                group_size=group_size, block_m=block_m,
-                out_dtype=hidden_states.dtype)
-        # weighted scatter-reduce back to token order
-        flat = jnp.clip(sorted_ids, 0, t * k)     # t*k == padding sentinel
-        wflat = jnp.concatenate(
-            [topk_weights.reshape(-1).astype(jnp.float32),
-             jnp.zeros((1,), jnp.float32)])[flat]
+                row_scales=wflat, bias_first=True,
+                group_size=group_size, block_m=bm,
+                out_dtype=jnp.float32)
+        # unweighted scatter-reduce back to token order (weights already
+        # applied in the GEMM2 epilogue; padding rows carry weight 0)
         tok = jnp.where(sorted_ids < t * k, sorted_ids // k, t)
-        out = jax.ops.segment_sum(
-            g2.astype(jnp.float32) * wflat[:, None], tok,
-            num_segments=t + 1)[:t]
+        out = jax.ops.segment_sum(g2, tok, num_segments=t + 1)[:t]
         return out.astype(in_dtype)
 
     # ---- reference path -------------------------------------------------
