@@ -132,6 +132,101 @@ def test_ep_fused_moe_matches_single_device():
                     atol=3e-2 * max(1.0, np.abs(np.asarray(golden)).max()))
 
 
+@pytest.mark.parametrize("capacity", [None, 16])
+@pytest.mark.parametrize("quant", ["none", "w8a8"])
+def test_ep_fused_moe_a2a_matches_gather(quant, capacity):
+    """a2a token dispatch == gather strategy == single-device fused MoE.
+
+    capacity=16 == t_local*k here, i.e. the exact worst case — identical
+    results with the bucketed send layout exercised; capacity=None takes
+    the default exact path."""
+    from vllm_xpu_kernels_tpu import ops
+    from vllm_xpu_kernels_tpu.parallel import ep_fused_moe
+
+    ep = 8
+    t_local, d, inter, e_total, k = 8, 64, 128, 16, 2
+    t = t_local * ep
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((t, d)) * 0.3, jnp.bfloat16)
+    gating = jnp.asarray(rng.standard_normal((t, e_total)).astype(np.float32))
+    tw, ti = ops.topk_softmax(gating, k, True)
+    w13 = jnp.asarray(rng.standard_normal((e_total, d, 2 * inter)) * 0.1,
+                      jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((e_total, inter, d)) * 0.1,
+                     jnp.bfloat16)
+    if quant == "w8a8":
+        def q8(wt):
+            s = (jnp.max(jnp.abs(wt.astype(jnp.float32)), axis=1)
+                 / 127.0 + 1e-8)
+            qw = jnp.clip(jnp.round(wt.astype(jnp.float32) / s[:, None]),
+                          -127, 127).astype(jnp.int8)
+            return qw, s.astype(jnp.float32)
+        w13, s13 = q8(w13)
+        w2, s2 = q8(w2)
+    else:
+        s13 = jnp.zeros((e_total, 1), jnp.float32)   # placeholder shard
+        s2 = jnp.zeros((e_total, 1), jnp.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:ep]), ("ep",))
+
+    def run(strategy):
+        f = shard_map(
+            lambda x, w13, w2, tw, ti, s13, s2: ep_fused_moe(
+                x, w13, w2, tw, ti, "ep", quant=quant, block_m=32,
+                strategy=strategy, capacity=capacity,
+                **(dict(w13_scales=s13, w2_scales=s2)
+                   if quant == "w8a8" else {})),
+            mesh=mesh,
+            in_specs=(P("ep"),) * 7,
+            out_specs=P("ep"), check_rep=False)
+        return np.asarray(jax.jit(f)(x, w13, w2, tw, ti, s13, s2),
+                          np.float32)
+
+    got = run("a2a")
+    ref = run("gather")
+    # same per-expert kernels, different f32 summation order only
+    assert_allclose(got, ref, rtol=2e-2,
+                    atol=2e-2 * max(1.0, np.abs(ref).max()))
+
+
+def test_ep_a2a_capacity_drop():
+    """Overflow slots beyond capacity are dropped deterministically:
+    with capacity 1 and every token routed to the same expert, only the
+    first slot per (src rank, dst rank) contributes."""
+    from vllm_xpu_kernels_tpu.parallel import ep_fused_moe
+
+    ep = 4
+    t_local, d, inter, e_total = 4, 32, 64, 4
+    t = t_local * ep
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((t, d)) * 0.3, jnp.bfloat16)
+    w13 = jnp.asarray(rng.standard_normal((e_total, d, 2 * inter)) * 0.1,
+                      jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((e_total, inter, d)) * 0.1,
+                     jnp.bfloat16)
+    ti = jnp.zeros((t, 1), jnp.int32)           # all to expert 0 (rank 0)
+    tw = jnp.ones((t, 1), jnp.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:ep]), ("ep",))
+
+    def run(capacity):
+        f = shard_map(
+            lambda x, w13, w2, tw, ti: ep_fused_moe(
+                x, w13, w2, tw, ti, "ep", block_m=32,
+                strategy="a2a", capacity=capacity),
+            mesh=mesh,
+            in_specs=(P("ep"), P("ep"), P("ep"), P("ep"), P("ep")),
+            out_specs=P("ep"), check_rep=False)
+        return np.asarray(jax.jit(f)(x, w13, w2, tw, ti), np.float32)
+
+    full = run(None)
+    capped = run(1)
+    # first token of each rank's shard survives, the rest are dropped
+    kept = np.arange(t) % t_local == 0
+    np.testing.assert_allclose(capped[kept], full[kept], rtol=1e-5)
+    np.testing.assert_array_equal(capped[~kept], 0.0)
+
+
 @pytest.mark.parametrize("n_stages,m", [(2, 4), (4, 4), (4, 1)])
 def test_gpipe_pipeline_matches_sequential(n_stages, m):
     """Stage-sharded GPipe pipeline == sequential layer stack."""
