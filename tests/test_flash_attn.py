@@ -408,6 +408,49 @@ def test_decode_fresh_kv(decode_impl, kv_dtype, impl, monkeypatch):
         np.asarray(cache_new, np.float32), np.asarray(cache_ref, np.float32))
 
 
+@pytest.mark.parametrize("fresh", [False, True])
+def test_decode_out_quant(fresh, impl, monkeypatch):
+    """Fused per-token int8 output quant in the decode epilogue: dequant
+    of (q, scale) matches the unquantized output within int8 resolution,
+    and scales match ops.dynamic_per_token_scaled_int8_quant's law."""
+    monkeypatch.setenv("VXK_DECODE_IMPL", "dma")
+    seq_lens = [(1, 257), (1, 64), (1, 8)]
+    d, bs = 128, 16
+    qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \
+        make_paged(seq_lens, (8, 2), d, d, bs, 128, jnp.bfloat16, seed=7)
+    kv_cache = _fuse_pages(kj, vj)
+    scale = d ** -0.5
+    kwargs = dict(causal=True, softmax_scale=scale, kv_layout="fused",
+                  seqused_k=used_k, block_table=tbl)
+    if fresh:
+        rng = np.random.default_rng(3)
+        fresh_kv = jnp.asarray(
+            rng.standard_normal((3, 2, 2 * d)) * 0.5, kv_cache.dtype)
+        slots = jnp.asarray(
+            [int(tbl[i, (kv - 1) // bs]) * bs + (kv - 1) % bs
+             for i, kv in enumerate(kv_lens)], jnp.int32)
+        kwargs.update(fresh_kv=fresh_kv, fresh_slots=slots)
+    ref = ops.flash_attn_varlen_func(
+        qj, kv_cache, None, 1, cu_q, max(kv_lens), **kwargs)
+    res = ops.flash_attn_varlen_func(
+        qj, kv_cache, None, 1, cu_q, max(kv_lens), out_quant=True,
+        **kwargs)
+    if fresh:
+        ref, (out_pair, _) = ref[0], (res[0], res[1])
+        out, s = out_pair
+    else:
+        out, s = res
+    if s is None:
+        return  # executing tier cannot fuse; contract is (out, None)
+    assert out.dtype == jnp.int8
+    deq = np.asarray(out, np.float32) * np.asarray(s)[:, None, None]
+    ref_f = np.asarray(ref, np.float32)
+    # tolerance: half an int8 ulp (the kernel quantizes from f32) plus
+    # the bf16 rounding the reference output already carries
+    atol = np.asarray(s).max() * 0.51 + np.abs(ref_f).max() * 2.0 ** -8
+    np.testing.assert_allclose(deq, ref_f, rtol=0.0, atol=atol)
+
+
 def test_prefill_fused_kv(impl):
     """Mixed varlen prefill against the fused page layout."""
     seq_lens = [(1, 1328), (5, 18), (129, 463)]

@@ -11,7 +11,7 @@ from vllm_xpu_kernels_tpu import ops
 from tests.utils import assert_allclose
 
 
-def test_bgmv_shrink_expand_roundtrip():
+def test_bgmv_shrink_expand_roundtrip(impl):
     t, h, r, n_lora = 12, 64, 8, 3
     rng = np.random.default_rng(0)
     x = rng.standard_normal((t, h)).astype(np.float32)
@@ -29,10 +29,11 @@ def test_bgmv_shrink_expand_roundtrip():
         if idx[i] >= 0:
             mid = 0.5 * (la[idx[i]] @ x[i])
             golden[i] += lb[idx[i]] @ mid
-    assert_allclose(out, golden, rtol=1e-4, atol=1e-4)
+    tol = 1e-4 if impl == "ref" else 5e-3   # kernel tier: bf16 operands
+    assert_allclose(out, golden, rtol=tol, atol=tol)
 
 
-def test_bgmv_expand_slice():
+def test_bgmv_expand_slice(impl):
     t, r, n_lora = 6, 4, 2
     h_slice, h_total, off = 16, 48, 16
     rng = np.random.default_rng(1)
@@ -46,7 +47,8 @@ def test_bgmv_expand_slice():
     golden = base.copy()
     for i in range(t):
         golden[i, off:off + h_slice] += lb[idx[i]] @ x[i]
-    assert_allclose(out, golden, rtol=1e-4, atol=1e-4)
+    tol = 1e-4 if impl == "ref" else 2e-2   # unscaled ~O(1) operands
+    assert_allclose(out, golden, rtol=tol, atol=tol)
     # untouched columns preserved
     assert_allclose(np.asarray(out)[:, :off], base[:, :off], rtol=0, atol=0)
 
@@ -80,7 +82,7 @@ def np_mqa_logits(q, kv, scale, weights, ks, ke):
     return np.where(mask, logits, -np.inf)
 
 
-def test_fp8_mqa_logits():
+def test_fp8_mqa_logits(impl):
     tq, tkv, h, d = 24, 48, 8, 64
     rng = np.random.default_rng(3)
     q = jnp.asarray(rng.standard_normal((tq, h, d)), jnp.float8_e4m3fn)
@@ -103,7 +105,7 @@ def test_fp8_mqa_logits():
 
 
 @pytest.mark.parametrize("next_n", [1, 2])
-def test_fp8_paged_mqa_logits(next_n):
+def test_fp8_paged_mqa_logits(next_n, impl):
     b, h, d, bs, nb = 3, 8, 64, 16, 32
     max_model_len = 128
     rng = np.random.default_rng(4)

@@ -256,21 +256,31 @@ def test_tpu_fused_moe_ep(impl):
                     atol=2e-2 * max(1.0, np.abs(golden).max()))
 
 
-def test_grouped_gemm_standalone():
+@pytest.mark.parametrize("with_scale_bias", [False, True])
+def test_grouped_gemm_standalone(with_scale_bias, impl):
     r_per = [5, 0, 9, 2]
     e, k_dim, n = 4, 64, 96
     r = sum(r_per)
     rng = np.random.default_rng(7)
     a = rng.standard_normal((r, k_dim)).astype(np.float32) * 0.5
     b = rng.standard_normal((e, k_dim, n)).astype(np.float32) * 0.5
+    sc = rng.random(e).astype(np.float32) + 0.5 if with_scale_bias else None
+    bias = (rng.standard_normal((e, n)).astype(np.float32) * 0.1
+            if with_scale_bias else None)
     golden = np.zeros((r, n), np.float32)
     start = 0
     for ei, cnt in enumerate(r_per):
-        golden[start:start + cnt] = a[start:start + cnt] @ b[ei]
+        blk = a[start:start + cnt] @ b[ei]
+        if with_scale_bias:
+            blk = blk * sc[ei] + bias[ei]
+        golden[start:start + cnt] = blk
         start += cnt
     out = ops.grouped_gemm(
         jnp.asarray(a, jnp.bfloat16), jnp.asarray(b, jnp.bfloat16),
-        jnp.asarray(r_per, jnp.int32), out_dtype=jnp.float32)
+        jnp.asarray(r_per, jnp.int32),
+        scales=None if sc is None else jnp.asarray(sc),
+        bias=None if bias is None else jnp.asarray(bias),
+        out_dtype=jnp.float32)
     assert_allclose(out, golden, rtol=2e-2,
                     atol=2e-2 * max(1.0, np.abs(golden).max()))
 

@@ -54,6 +54,16 @@ VXK_DECODE_IMPL = _register(
 VXK_DECODE_DMA_DEPTH = _register(
     "VXK_DECODE_DMA_DEPTH", int, 4,
     "Prefetch depth (KV pages in flight) for the 'dma' decode kernel.")
+VXK_DECODE_STAGE = _register(
+    "VXK_DECODE_STAGE", int, 0,
+    "Pages per staged online-softmax fold in the 'dma' decode kernel "
+    "(0 = auto: per-page register folds).")
+VXK_ATTN_OUT_QUANT = _register(
+    "VXK_ATTN_OUT_QUANT", _bool, False,
+    "Fuse the o-projection's per-token int8 activation quant into the "
+    "decode attention epilogue (int8 recipes without LoRA).  Default "
+    "off: the in-kernel scalar amax reduce measured SLOWER than XLA's "
+    "standalone fused quant pass on v5e (1651 vs 1714 tok/s, 8B w8a8).")
 
 VXK_PREFILL_PAGES_PER_STEP = _register(
     "VXK_PREFILL_PAGES_PER_STEP", int, 0,

@@ -181,11 +181,11 @@ def _decode_kernel(
 
 def _decode_kernel_dma(
     spec,
-    # scalar prefetch
-    kv_lens_ref, tbl_ref,
-    # tensor inputs: sink, descale, q, [fresh], then the cache —
-    #   split layout: k_hbm, v_hbm; fused layout: one kv_hbm
-    # outputs o/lse, then scratch (buffers, softmax state, semaphores)
+    # refs: scalar prefetch (kv_lens, tbl, [fresh_slots]), then tensor
+    # inputs (sink, descale, q, [fresh], cache — split: k_hbm, v_hbm;
+    # fused: one kv_hbm), then outputs (o, [o_scale], lse,
+    # [aliased cache]), then scratch (buffers, staged logits, softmax
+    # state, [writeback window], semaphores)
     *refs,
 ):
     """One grid step = one full sequence.  The kernel walks the block
@@ -200,44 +200,81 @@ def _decode_kernel_dma(
     DMA issue+wait overhead that dominates the decode-attention slack
     (~2 DMA transactions/page measured as ~2 ms of a 19 ms 8B step).
 
+    ``spec["stage"]``: pages per online-softmax update.  Logits for a
+    PAIR of pages stage into one [hkv, g, 2*bs] buffer and fold with a
+    single max/exp/sum/acc-rescale pass — the acc rescale ([hkv, g, dv]
+    f32) is the widest VPU op of the page loop, and pairing halves it
+    (same trick as the prefill kernel's staged wide softmax).  Buffer
+    slots are consumed pair-at-a-time, so with depth 4 the DMA queue
+    still stays >= 2 pages ahead.
+
     ``spec["fresh"]``: the current token's quantized (K|V) row rides as a
     direct input [B, Hkv, 1, Dk+Dv] instead of being scattered into the
     cache *before* attention: the kernel folds it into the online-softmax
     epilogue (an extra logit column with a value — same shape of fold as
-    the attention sink, reference merge_attn_states semantics).  The
-    cache-row scatter then happens OUTSIDE the kernel with nothing
-    downstream depending on it until the next decode step, so XLA can
-    schedule it off the critical path (it used to serialize
-    qkv-projection -> scatter -> attention, ~0.8 ms of a 19 ms 8B step).
-    Masking uses the cached length kv_len-1, so page reads never see the
-    row's slot.  (A single-row in-kernel HBM write is not expressible:
-    Mosaic requires sublane-dim slices aligned to the dtype tiling —
-    2 rows for bf16, 4 for fp8.)"""
+    the attention sink, reference merge_attn_states semantics).  Masking
+    uses the cached length kv_len-1, so page reads never see the row's
+    slot.  With ``spec["writeback"]`` the kernel also writes the row into
+    the (input-output aliased) cache itself: a single row is not a legal
+    Mosaic HBM slice (sublane slices must align to the dtype tiling), so
+    it merges the row into an 8-row-aligned window of the page — already
+    resident in VMEM from the attention pass — and DMAs the window back.
+    This removes the XLA cache-row scatter entirely (~0.8 ms of a 19 ms
+    8B step).
+
+    ``spec["out_q"]``: per-token dynamic int8 quant of the attention
+    output fused into the epilogue (the w8a8 o-projection consumes int8
+    rows; quantizing [hkv, g, dv] from the f32 accumulator here removes
+    the standalone activation-quant pass between attention and the
+    o-proj GEMM)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    from vllm_xpu_kernels_tpu.kernels.quant_matmul import fp8_upcast_f32
 
     fused = spec["fused"]
     fresh = spec["fresh"]
+    wb = spec["writeback"]
+    out_q = spec["out_q"]
     d = spec["d"]
-    if fused and fresh:
-        (sink_ref, descale_ref, q_ref, fresh_ref, kv_hbm,
-         o_ref, lse_ref, kvbuf, m_ref, l_ref, acc_ref, skv) = refs
-    elif fused:
-        (sink_ref, descale_ref, q_ref, kv_hbm, o_ref, lse_ref,
-         kvbuf, m_ref, l_ref, acc_ref, skv) = refs
-    else:
-        (sink_ref, descale_ref, q_ref, k_hbm, v_hbm, o_ref, lse_ref,
-         kbuf, vbuf, m_ref, l_ref, acc_ref, sk, sv) = refs
-
     bs = spec["bs"]
     depth = spec["depth"]
+    stage = spec["stage"]
+
+    it = iter(refs)
+    kv_lens_ref = next(it)
+    tbl_ref = next(it)
+    fslots_ref = next(it) if wb else None
+    sink_ref = next(it)
+    descale_ref = next(it)
+    q_ref = next(it)
+    fresh_ref = next(it) if fresh else None
+    if fused:
+        kv_hbm = next(it)
+    else:
+        k_hbm, v_hbm = next(it), next(it)
+    o_ref = next(it)
+    os_ref = next(it) if out_q else None
+    lse_ref = next(it)
+    cache_out = next(it) if wb else None
+    if fused:
+        kvbuf = next(it)
+    else:
+        kbuf, vbuf = next(it), next(it)
+    sbuf = next(it)
+    m_ref, l_ref, acc_ref = next(it), next(it), next(it)
+    wbuf = next(it) if wb else None
+    if fused:
+        skv = next(it)
+    else:
+        sk, sv = next(it), next(it)
+    wsem = next(it) if wb else None
+
     b = pl.program_id(0)
     num_seqs = pl.num_programs(0)
     # with a fresh row, the pages hold kv_len-1 cached tokens; the fresh
     # token is folded in the epilogue and never read back from the cache
     kv_len = kv_lens_ref[b] - (1 if fresh else 0)
     n_pages = jnp.maximum((kv_len + bs - 1) // bs, 1)
-
 
     def issue(seq, page_i, slot):
         pg = tbl_ref[seq, page_i]
@@ -260,87 +297,194 @@ def _decode_kernel_dma(
             def _():
                 issue(b, s, s)
 
+    if wb:
+        # Prefetch the fresh row's 8-row-aligned page window now; the
+        # read's latency hides behind the whole page loop and the merge
+        # in the epilogue preserves every sibling byte of the window
+        # (bit-identical to an XLA row scatter).
+        @pl.when(fslots_ref[b] >= 0)
+        def _():
+            fs = fslots_ref[b]
+            pltpu.make_async_copy(
+                kv_hbm.at[fs // bs, :, pl.ds(fs % bs // 8 * 8, 8), :],
+                wbuf, wsem).start()
+
     m_ref[...] = jnp.full_like(m_ref, _NEG)
     l_ref[...] = jnp.zeros_like(l_ref)
     acc_ref[...] = jnp.zeros_like(acc_ref)
     # bf16 matmul operands, f32 accumulation (f32 x f32 MXU rate is a
-    # fraction of bf16); scale applies to the f32 logits.
-    q = q_ref[0].astype(jnp.bfloat16)                    # [hkv, g, d]
-    g = q.shape[1]
-    ex = jnp.exp2 if spec["exp2"] else jnp.exp
-    # fp8 KV: fold k_descale into the logits scale and v_descale into the
-    # epilogue accumulator instead of multiplying every page element —
-    # the per-page chain becomes a pure upcast+cast (the scalar applies
-    # post-dot in f32, so numerics only improve).
+    # fraction of bf16).  The QK scale (with k_descale folded in for fp8
+    # KV — v_descale folds into the epilogue accumulator) applies to q
+    # BEFORE the bf16 cast: one [hkv, g, d] pass instead of a per-page
+    # [hkv, g, bs] logits multiply.
     qk_scale = (spec["scale"] * descale_ref[0, 0] if spec["fp8_kv"]
                 else spec["scale"])
+    q = (q_ref[0].astype(jnp.float32) * qk_scale).astype(jnp.bfloat16)
+    g = q.shape[1]
+    ex = jnp.exp2 if spec["exp2"] else jnp.exp
 
-    def consume(i, slot):
-        """Wait page i (in buffer slot; slot is a python int so every
-        kbuf/vbuf access is statically indexed), fold into the online
-        softmax, prefetch page i+depth into the freed slot."""
-        from vllm_xpu_kernels_tpu.kernels.quant_matmul import fp8_upcast_f32
-
+    def wait_kv(i, slot):
         pg = tbl_ref[b, i]
         if fused:
             pltpu.make_async_copy(
                 kv_hbm.at[pg], kvbuf.at[slot], skv.at[slot]).wait()
-            kraw = kvbuf[slot, :, :, :d]
-            vraw = kvbuf[slot, :, :, d:]
         else:
             pltpu.make_async_copy(
                 k_hbm.at[pg], kbuf.at[slot], sk.at[slot]).wait()
             pltpu.make_async_copy(
                 v_hbm.at[pg], vbuf.at[slot], sv.at[slot]).wait()
-            kraw = kbuf[slot]
-            vraw = vbuf[slot]
+
+    def kv_slot(slot):
+        if fused:
+            return kvbuf[slot, :, :, :d], kvbuf[slot, :, :, d:]
+        return kbuf[slot], vbuf[slot]
+
+    def qk_dot(slot):
+        kraw, _ = kv_slot(slot)
         if spec["fp8_kv"]:
             k = fp8_upcast_f32(kraw).astype(jnp.bfloat16)
-            v = fp8_upcast_f32(vraw).astype(jnp.bfloat16)
         else:
             k = kraw.astype(jnp.bfloat16)
-            v = vraw.astype(jnp.bfloat16)
-        s = jax.lax.dot_general(
+        return jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * qk_scale
+            preferred_element_type=jnp.float32)          # [hkv, g, bs]
+
+    def bf16_v(slot):
+        _, vraw = kv_slot(slot)
+        if spec["fp8_kv"]:
+            return fp8_upcast_f32(vraw).astype(jnp.bfloat16)
+        return vraw.astype(jnp.bfloat16)
+
+    def stage_page(i, slot, col):
+        """Wait page i, QK dot, stage the f32 logits into sbuf column
+        block ``col`` (slot/col are python ints — static indexing)."""
+        wait_kv(i, slot)
+        sbuf[:, :, col * bs:(col + 1) * bs] = qk_dot(slot)
+
+    def fold(s, i0, width, pv, masked=True):
+        """Online-softmax fold of logits ``s`` ([hkv, g, width], first
+        column at kv position i0*bs) followed by ``pv(p)`` accumulator
+        updates.  ``masked=False`` skips the position-mask passes for
+        interior pages (every column in range and in window)."""
         if spec["softcap"]:
             s = spec["softcap_mult"] * jnp.tanh(s / spec["softcap"])
-        kpos = i * bs + jax.lax.broadcasted_iota(jnp.int32, (1, g, bs), 2)
-        mask = kpos >= kv_len
-        if spec["window_left"] >= 0:
-            # current token's position: kv_len-1 normally, kv_len (the
-            # fresh row, outside the pages) in fresh mode
-            cur_pos = kv_len - (0 if fresh else 1)
-            mask = mask | (kpos < cur_pos - spec["window_left"])
-        s = jnp.where(mask, -jnp.inf, s)
+        if masked:
+            kpos = (i0 * bs + jax.lax.broadcasted_iota(
+                jnp.int32, (1, g, width), 2))
+            mask = kpos >= kv_len
+            if spec["window_left"] >= 0:
+                # current token's position: kv_len-1 normally, kv_len
+                # (the fresh row, outside the pages) in fresh mode
+                cur_pos = kv_len - (0 if fresh else 1)
+                mask = mask | (kpos < cur_pos - spec["window_left"])
+            s = jnp.where(mask, -jnp.inf, s)
         cur = jnp.max(s, axis=-1, keepdims=True)
         m_old = m_ref[...]
         m_new = jnp.maximum(jnp.maximum(cur, m_old), _NEG)
         alpha = ex(m_old - m_new)
         p = ex(s - m_new)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)          # [hkv, g, dv]
-        acc_ref[...] = acc_ref[...] * alpha + pv
         m_ref[...] = m_new
+        acc_ref[...] = acc_ref[...] * alpha
+        pv(p)
+
+    def consume(i, slot):
+        """stage=1 fast path: wait page i, fold it straight from
+        registers (no staging buffer round trip), re-issue the slot.
+        (A dynamic interior/masked pl.when split was measured SLOWER
+        than masking every page — the duplicated fold bodies and scalar
+        branches cost more than 3 short VPU mask passes save.)"""
+        wait_kv(i, slot)
+        s = qk_dot(slot)
+
+        def pv(p):
+            acc_ref[...] += jax.lax.dot_general(
+                p.astype(jnp.bfloat16), bf16_v(slot),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # [hkv, g, dv]
+
+        fold(s, i, bs, pv)
 
         @pl.when(i + depth < n_pages)
         def _():
             issue(b, i + depth, slot)
 
-    # rounds of `depth` statically-unrolled slots
+    def update(i0, ps):
+        """One online-softmax fold over the staged logits of pages
+        i0..i0+stage-1 (buffer slots ps..).  Columns of pages past
+        n_pages are killed by the kv_len mask (kpos >= kv_len always
+        holds there), and their PV dot is skipped."""
+        def pv(p):
+            for c in range(stage):
+                def pv_dot(c=c):
+                    acc_ref[...] += jax.lax.dot_general(
+                        p[:, :, c * bs:(c + 1) * bs].astype(jnp.bfloat16),
+                        bf16_v(ps + c), (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)  # [hkv,g,dv]
+                if c == 0:
+                    pv_dot()
+                else:
+                    pl.when(i0 + c < n_pages)(lambda c=c: pv_dot(c))
+
+        fold(sbuf[...], i0, stage * bs, pv)
+
+    # rounds of `depth` statically-unrolled slots, consumed `stage` at a
+    # time; each consumed group immediately re-issues its slots, keeping
+    # the queue depth-stage pages ahead.
     n_rounds = (n_pages + depth - 1) // depth
 
     def round_body(r, carry):
         base = r * depth
-        for slot in range(depth):
-            @pl.when(base + slot < n_pages)
+        if stage == 1:
+            for slot in range(depth):
+                @pl.when(base + slot < n_pages)
+                def _(slot=slot):
+                    consume(base + slot, slot)
+            return carry
+        for ps in range(0, depth, stage):
+            i0 = base + ps
+            for c in range(stage):
+                @pl.when(i0 + c < n_pages)
+                def _(c=c):
+                    stage_page(i0 + c, ps + c, c)
+
+            @pl.when(i0 < n_pages)
             def _():
-                consume(base + slot, slot)
+                update(i0, ps)
+
+            for c in range(stage):
+                @pl.when(i0 + c + depth < n_pages)
+                def _(c=c):
+                    issue(b, i0 + c + depth, ps + c)
         return carry
 
     jax.lax.fori_loop(0, n_rounds, round_body, 0, unroll=False)
+
+    if wb:
+        # Merge the fresh row into the prefetched 8-row page window and
+        # DMA the window back into the aliased cache (a single row is not
+        # a legal Mosaic HBM slice; the window is).  Every sibling byte
+        # of the window is preserved — bit-identical to an XLA row
+        # scatter.  Row select runs in f32 (8-bit/16-bit selects are
+        # Mosaic-hostile); quantized values round-trip exactly.
+        fslot = fslots_ref[b]
+
+        @pl.when(fslot >= 0)
+        def _():
+            pg_w = fslot // bs
+            off = fslot % bs
+            ws = (off // 8) * 8
+            pltpu.make_async_copy(
+                kv_hbm.at[pg_w, :, pl.ds(ws, 8), :], wbuf, wsem).wait()
+            basef = (fp8_upcast_f32(wbuf[...]) if spec["fp8_kv"]
+                     else wbuf[...].astype(jnp.float32))  # [hkv, 8, d+dv]
+            freshf = (fp8_upcast_f32(fresh_ref[0]) if spec["fp8_kv"]
+                      else fresh_ref[0].astype(jnp.float32))  # [hkv,1,*]
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+                   == off - ws)
+            wbuf[...] = jnp.where(sel, freshf, basef).astype(wbuf.dtype)
+            pltpu.make_async_copy(
+                wbuf, cache_out.at[pg_w, :, pl.ds(ws, 8), :], wsem).start()
 
     # Epilogue: prefetch the next sequence's first pages while this
     # step finalizes and the pipeline swaps q/output blocks.  The page
@@ -362,9 +506,8 @@ def _decode_kernel_dma(
         # fold the current token's (k, v) as one extra online-softmax
         # column (same merge as the sink below, but with a value row).
         # The fresh row is quantized like the cache, so the descale folds
-        # (qk_scale, v_descale epilogue) apply to it identically.
-        from vllm_xpu_kernels_tpu.kernels.quant_matmul import fp8_upcast_f32
-
+        # (qk_scale pre-folded into q, v_descale epilogue) apply to it
+        # identically.
         if spec["fp8_kv"]:
             kn = fp8_upcast_f32(fresh_ref[0, :, :, :d]).astype(jnp.bfloat16)
             vn = fp8_upcast_f32(fresh_ref[0, :, :, d:])
@@ -373,7 +516,7 @@ def _decode_kernel_dma(
             vn = fresh_ref[0, :, :, d:].astype(jnp.float32)
         s_new = jax.lax.dot_general(
             q, kn, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * qk_scale   # [hkv, g, 1]
+            preferred_element_type=jnp.float32)              # [hkv, g, 1]
         if spec["softcap"]:
             s_new = spec["softcap_mult"] * jnp.tanh(s_new / spec["softcap"])
         m_f = jnp.maximum(jnp.maximum(m, s_new), _NEG)
@@ -391,27 +534,48 @@ def _decode_kernel_dma(
         l = l * corr + ex(sink - m_f)
         acc = acc * corr
         m = m_f
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    o = acc / jnp.maximum(l, 1e-30)
+    if out_q:
+        # per-token (per-sequence) dynamic int8 quant straight from the
+        # f32 accumulator (matches ops.quant
+        # dynamic_per_token_scaled_int8_quant numerics)
+        amax = jnp.max(jnp.abs(o))
+        s_tok = jnp.maximum(amax / 127.0, 1e-10)
+        o_ref[0] = jnp.clip(jnp.round(o * (1.0 / s_tok)), -127, 127
+                            ).astype(jnp.int8)
+        os_ref[0] = jnp.full_like(os_ref[0], s_tok)
+    else:
+        o_ref[0] = o.astype(o_ref.dtype)
     lse_ref[0] = m * spec["m2ln"] + jnp.log(jnp.maximum(l, 1e-30))
+    if wb:
+        @pl.when(fslots_ref[b] >= 0)
+        def _():
+            pltpu.make_async_copy(
+                wbuf, cache_out.at[0, :, pl.ds(0, 8), :], wsem).wait()
 
 
 def _paged_decode_dma(
     q, k_cache, v_cache, seqused_k, block_table, *,
     scale, window, softcap, sink, k_descale, v_descale, max_seqlen_k,
-    fresh_kv=None,
+    fresh_kv=None, fresh_slots=None, out_quant=False,
 ):
     """Sequence-grid decode with kernel-managed page DMAs.
     ``v_cache=None`` selects the fused layout: ``k_cache`` is
     [nb, Hkv, bs, Dk+Dv] with K in [..., :Dk] (one DMA per page).
     ``fresh_kv`` (fused only): [B, Hkv, Dk+Dv] quantized current-token
     row — folded into the online-softmax epilogue instead of being read
-    back from the cache (see _decode_kernel_dma); ``seqused_k`` then
-    INCLUDES the fresh token.  The caller owns the cache-row scatter.
-    -> (out [B, Hkv, G, Dv], lse [B, Hkv, G, 1])."""
+    back from the cache, and written into the cache at
+    ``fresh_slots[b]`` by the kernel itself (input-output aliased; see
+    _decode_kernel_dma); ``seqused_k`` then INCLUDES the fresh token.
+    ``out_quant``: fuse per-token dynamic int8 quant of the output into
+    the epilogue.
+    -> (out [B, Hkv, G, Dv] (int8 when out_quant), lse [B, Hkv, G, 1],
+        out_scale [B, 1, 1] | None, new_cache | None)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from vllm_xpu_kernels_tpu.envs import VXK_DECODE_DMA_DEPTH
+    from vllm_xpu_kernels_tpu.envs import (VXK_DECODE_DMA_DEPTH,
+                                           VXK_DECODE_STAGE)
 
     fused = v_cache is None
     b_, hq, d = q.shape
@@ -420,6 +584,14 @@ def _paged_decode_dma(
     g = hq // hkv
     n_tiles = _cdiv(min(max_seqlen_k, nb * bs), bs)
     depth = max(1, min(VXK_DECODE_DMA_DEPTH(), n_tiles))
+    # pages per staged-softmax fold.  stage=1 keeps logits in registers
+    # and folds per page; stage=2 stages pairs into a VMEM buffer and
+    # folds once (halving the acc-rescale VPU pass) — measured SLOWER on
+    # v5e 8B decode (the sbuf round trip and deferred slot re-issue cost
+    # more than the saved rescales), so per-page is the default.
+    stage = VXK_DECODE_STAGE() or 1
+    if depth % stage != 0:
+        stage = 1
 
     q4 = q.reshape(b_, hkv, g, d)
     exp_spec, sink_arr = _exp_consts(scale, softcap, sink, hkv, g)
@@ -432,11 +604,13 @@ def _paged_decode_dma(
 
     fresh = fresh_kv is not None
     assert not fresh or fused, "fresh_kv requires the fused page layout"
+    wb = fresh and fresh_slots is not None and bs % 8 == 0
     spec = dict(
-        bs=bs,
+        bs=bs, stage=stage,
         window_left=int(window[0]), has_sink=sink is not None,
         fp8_kv=k_cache.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2),
-        depth=depth, fused=fused, fresh=fresh, d=d, **exp_spec,
+        depth=depth, fused=fused, fresh=fresh, d=d,
+        writeback=wb, out_q=bool(out_quant), **exp_spec,
     )
 
     cache_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (1 if fused else 2)
@@ -456,6 +630,36 @@ def _paged_decode_dma(
         sems = [pltpu.SemaphoreType.DMA((depth,)),
                 pltpu.SemaphoreType.DMA((depth,))]
     prefetch = [seqused_k.astype(jnp.int32), block_table.astype(jnp.int32)]
+    if wb:
+        prefetch.append(fresh_slots.astype(jnp.int32))
+    out_specs = [
+        pl.BlockSpec((1, hkv, g, dv), lambda b, *_: (b, 0, 0, 0)),
+    ]
+    out_shapes = [jax.ShapeDtypeStruct(
+        (b_, hkv, g, dv), jnp.int8 if out_quant else q.dtype)]
+    if out_quant:
+        out_specs.append(pl.BlockSpec((1, 1, 1), lambda b, *_: (b, 0, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((b_, 1, 1), jnp.float32))
+    out_specs.append(pl.BlockSpec((1, hkv, g, 1), lambda b, *_: (b, 0, 0, 0)))
+    out_shapes.append(jax.ShapeDtypeStruct((b_, hkv, g, 1), jnp.float32))
+    aliases = {}
+    if wb:
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shapes.append(jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype))
+        # aliased input index counts scalar-prefetch + tensor operands:
+        # (kv_lens, tbl, fslots, sink, desc, q4, fresh, cache)
+        aliases = {7: len(out_specs) - 1}
+    scratch = bufs + [
+        pltpu.VMEM((hkv, g, stage * bs), jnp.float32),    # staged logits
+        pltpu.VMEM((hkv, g, 1), jnp.float32),
+        pltpu.VMEM((hkv, g, 1), jnp.float32),
+        pltpu.VMEM((hkv, g, dv), jnp.float32),
+    ]
+    if wb:
+        scratch.append(pltpu.VMEM((hkv, 8, d + dv), k_cache.dtype))
+    scratch += sems
+    if wb:
+        scratch.append(pltpu.SemaphoreType.DMA)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
         grid=(b_,),
@@ -465,30 +669,26 @@ def _paged_decode_dma(
                          memory_space=pltpu.SMEM),                # descale
             pl.BlockSpec((1, hkv, g, d), lambda b, *_: (b, 0, 0, 0)),
         ] + fresh_specs + cache_specs,
-        out_specs=[
-            pl.BlockSpec((1, hkv, g, dv), lambda b, *_: (b, 0, 0, 0)),
-            pl.BlockSpec((1, hkv, g, 1), lambda b, *_: (b, 0, 0, 0)),
-        ],
-        scratch_shapes=bufs + [
-            pltpu.VMEM((hkv, g, 1), jnp.float32),
-            pltpu.VMEM((hkv, g, 1), jnp.float32),
-            pltpu.VMEM((hkv, g, dv), jnp.float32),
-        ] + sems,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     caches = (k_cache,) if fused else (k_cache, v_cache)
     res = pl.pallas_call(
         functools.partial(_decode_kernel_dma, spec),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b_, hkv, g, dv), q.dtype),
-            jax.ShapeDtypeStruct((b_, hkv, g, 1), jnp.float32),
-        ],
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
+        input_output_aliases=aliases,
         interpret=interpret_mode(),
     )(*prefetch, sink_arr, desc, q4, *fresh_in, *caches)
-    return tuple(res)
+    res = list(res)
+    out = res.pop(0)
+    o_scale = res.pop(0) if out_quant else None
+    lse = res.pop(0)
+    new_cache = res.pop(0) if wb else None
+    return out, lse, o_scale, new_cache
 
 
 def paged_decode(
@@ -509,8 +709,9 @@ def paged_decode(
     pages_per_step: Optional[int] = None,
     fresh_kv: Optional[jax.Array] = None,
     fresh_slots: Optional[jax.Array] = None,
+    out_quant: bool = False,
 ):
-    """-> (out [B, Hq, Dv], lse [Hq, B][, new kv_cache]).
+    """-> (out [B, Hq, Dv], lse [Hq, B][, out_scale][, new kv_cache]).
 
     ``v_cache=None`` selects the fused page layout (``k_cache`` is
     [nb, Hkv, bs, Dk+Dv]): the dma impl copies each page with ONE async
@@ -521,9 +722,17 @@ def paged_decode(
     current-token row, ``seqused_k`` counting it, written at cache slot
     ``fresh_slots[b]`` (negative = skip).  The dma kernel folds it into
     the attention epilogue and writes the cache row itself (in-place
-    alias) — the third return value.  When the dma kernel isn't
-    eligible, the row is scattered first (same semantics, one extra XLA
-    scatter on the critical path)."""
+    alias into an 8-row page window already resident in VMEM) — the last
+    return value.  When the dma kernel isn't eligible, the row is
+    scattered first (same semantics, one extra XLA scatter on the
+    critical path).
+
+    ``out_quant``: request fused per-token int8 quant of the output
+    (dma kernel only).  The return gains an ``out_scale`` [B] f32 value
+    AFTER lse and ``out`` becomes int8; when the fast path is not taken
+    the request is ignored and the caller quantizes itself
+    (flash_attn_varlen_func normalizes this into an (out, scale|None)
+    pair)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -545,23 +754,28 @@ def paged_decode(
     # sizes (MLA 192/576, tiny test heads) take the pipelined kernel.
     dma_ok = (d % 128 == 0 and dv % 128 == 0 and bs % 8 == 0)
     if dma_ok and VXK_DECODE_IMPL() == "dma" and pages_per_step is None:
-        res = _paged_decode_dma(
+        out4, lse4, o_scale, new_cache = _paged_decode_dma(
             q, k_cache, v_cache, seqused_k, block_table, scale=scale,
             window=window, softcap=softcap, sink=sink, k_descale=k_descale,
             v_descale=v_descale, max_seqlen_k=max_seqlen_k,
-            fresh_kv=fresh_kv)
-        out, lse4 = res[0], res[1]
-        out = out.reshape(b_, hq, dv)
+            fresh_kv=fresh_kv, fresh_slots=fresh_slots,
+            out_quant=out_quant)
+        out = out4.reshape(b_, hq, dv)
         lse = lse4.reshape(b_, hq).T
-        if fresh_kv is None:
-            return out, lse
-        # the scatter now has no consumer until the NEXT decode step, so
-        # XLA schedules it off the critical path (overlapped with the
-        # following layers' work) and updates the donated buffer in place
-        from vllm_xpu_kernels_tpu.ops.cache import scatter_fused_rows
+        res = [out, lse]
+        if out_quant:
+            res.append(o_scale.reshape(b_))
+        if fresh_kv is not None:
+            if new_cache is None:
+                # writeback ineligible (e.g. bs % 8): scatter instead —
+                # no same-step consumer, off the critical path
+                from vllm_xpu_kernels_tpu.ops.cache import \
+                    scatter_fused_rows
 
-        new_cache = scatter_fused_rows(k_cache, fresh_kv, fresh_slots)
-        return out, lse, new_cache
+                new_cache = scatter_fused_rows(
+                    k_cache, fresh_kv, fresh_slots)
+            res.append(new_cache)
+        return tuple(res)
     if fresh_kv is not None:
         # pipelined kernel / exotic shapes: scatter the fresh row first
         # (the reference ordering), then attend over the full length.
@@ -677,7 +891,7 @@ def paged_decode(
 def _prefill_kernel(
     spec,
     # scalar prefetch
-    q_lens_ref, kv_lens_ref, tbl_ref,
+    q_lens_ref, kv_lens_ref, offs_ref, tbl_ref,
     # tensors: sink, descale, q, then P (k, v) tile pairs
     *refs,
 ):
@@ -722,7 +936,9 @@ def _prefill_kernel(
     # over the staged [g, bq, P*bkv] logits per page.
     q = (q_ref[0, 0].astype(jnp.float32)
          * qk_scale).astype(jnp.bfloat16)                # [g, bq, D]
-    off = kv_len - q_len
+    # causal/window diagonal offset: kv_len - q_len for self-attention;
+    # ring-CP blocks override it with the true global block offset
+    off = offs_ref[b]
     qpos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (g, bq, bkv), 1)
 
     # causal frontier: KV tiles strictly above the last visible position
@@ -853,11 +1069,20 @@ def chunk_prefill(
     sink: Optional[jax.Array],
     k_descale, v_descale,
     block_q: int = 256,
+    causal_offsets: Optional[jax.Array] = None,
 ):
     """-> (out [total_q, Hq, Dv], lse [Hq, total_q]).
 
     ``v=None`` (paged only) selects the fused page layout: ``k`` is
-    [nb, Hkv, bs, Dk+Dv], read as two last-dim blocks (Dk == Dv)."""
+    [nb, Hkv, bs, Dk+Dv], read as two last-dim blocks (Dk == Dv).
+
+    ``causal_offsets`` ([B] int32): override the per-seq causal/window
+    diagonal offset (default ``kv_len - q_len``, the bottom-right-aligned
+    self-attention diagonal).  Ring/context-parallel callers pass the
+    TRUE global offset of the q chunk relative to the kv block, which
+    makes one kernel serve every ring case: offset >= kv_len => block
+    fully visible, 0 => standard causal diagonal, very negative =>
+    fully masked (l == 0 partial that LSE-merges as a no-op)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -943,21 +1168,21 @@ def chunk_prefill(
     def q_map(b, h, iq, jk, *_):
         return (b, h, 0, iq, 0)
 
-    def last_tile(b, iq, q_lens, kv_lens):
+    def last_tile(b, iq, kv_lens, offs):
         # last in-range KV tile for this (seq, q tile): bounded by the
         # KV length and, for causal, by the q tile's visibility frontier
         # — frozen slots past it issue no DMA (index unchanged).
         last = jnp.maximum((kv_lens[b] + bkv - 1) // bkv - 1, 0)
         if causal:
-            frontier = iq * bq + bq - 1 + kv_lens[b] - q_lens[b]
+            frontier = iq * bq + bq - 1 + offs[b]
             last = jnp.clip(frontier // bkv, 0, last)
         return last
 
     def kv_map_p(p, paged_map, vblk=0):
         # ``vblk``: last-dim block index — fused caches read V as block 1
         # of the [.., Dk+Dv] page.
-        def kv_map(b, h, iq, jk, q_lens, kv_lens, tbl):
-            last = last_tile(b, iq, q_lens, kv_lens)
+        def kv_map(b, h, iq, jk, q_lens, kv_lens, offs, tbl):
+            last = last_tile(b, iq, kv_lens, offs)
             jmax = jnp.maximum((last - p) // pages, 0)
             jc = jnp.where(p <= last,
                            p + pages * jnp.minimum(jk, jmax), last)
@@ -973,8 +1198,10 @@ def chunk_prefill(
                for p in range(pages)]
     k_in, v_in = (k, k if fused else v) if paged else (kpad, vpad)
 
+    offs = (causal_offsets.astype(jnp.int32) if causal_offsets is not None
+            else (kv_lens - q_lens).astype(jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(batch, hkv, n_q_tiles, n_kv_steps),
         in_specs=[
             pl.BlockSpec((1, g, 1), lambda b, h, iq, jk, *_: (h, 0, 0)),
@@ -1008,7 +1235,7 @@ def chunk_prefill(
                 "parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret_mode(),
-    )(q_lens, kv_lens, tbl, sink_arr, desc, qpad,
+    )(q_lens, kv_lens, offs, tbl, sink_arr, desc, qpad,
       *([k_in] * pages), *([v_in] * pages))
 
     seq_of_row, pos_of_row = attn_ops._row_maps(cu_seqlens_q, total_q, batch)

@@ -477,13 +477,17 @@ def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
                 block_table, cu_q, max_q, kv_cache_dtype=kv_dt,
                 k_scale=k_scale, v_scale=v_scale)
     elif fused and max_q == 1 and envs.VXK_DECODE_FRESH_KV():
-        # opt-in decode path: hand the quantized current-token row
-        # straight to the attention kernel (epilogue fold) so the cache
-        # scatter has no same-step consumer (ops.attention
-        # flash_attn_varlen_func fresh_kv).  Default-off: measured
-        # neutral-to-slower on v5e (the step is core-time bound).
+        # decode fast path: hand the quantized current-token row straight
+        # to the attention kernel, which folds it into the online-softmax
+        # epilogue AND writes the cache row itself (in-place page-window
+        # writeback — the XLA row scatter disappears entirely; see
+        # kernels/flash_attention._decode_kernel_dma).  For int8
+        # o-projections the per-token output quant fuses into the same
+        # epilogue (out_quant).
         from vllm_xpu_kernels_tpu.ops.cache import quantize_for_kv_cache
 
+        oq_ok = (lora_layer is None and envs.VXK_ATTN_OUT_QUANT()
+                 and ("s8" in lp["wo"] or "s4" in lp["wo"]))
         kq = quantize_for_kv_cache(
             k.reshape(t, hkv, d), kv_dt, k_scale, kc_l.dtype)
         vq = quantize_for_kv_cache(
@@ -494,7 +498,13 @@ def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
             kv_layout="fused", k_descale=k_scale, v_descale=v_scale,
             window_size=window, s_aux=lp.get("sinks"),
             fresh_kv=jnp.concatenate([kq, vq], axis=-1),
-            fresh_slots=slot_mapping)
+            fresh_slots=slot_mapping, out_quant=oq_ok)
+        if oq_ok:
+            attn, attn_s = attn
+            if attn_s is not None:
+                out = _linear(None, lp["wo"], tp_axis, reduce_out=True,
+                              a_q=(attn.reshape(t, hq * d), attn_s))
+                return out, kc_l, vc_l
         out = _linear(attn.reshape(t, hq * d), lp["wo"], tp_axis,
                       reduce_out=True,
                       lora=_lora_for(lora_layer, "wo", lora_idx))
@@ -509,13 +519,22 @@ def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
             k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l, vc_l,
             slot_mapping, kv_cache_dtype=kv_dt,
             k_scale=k_scale, v_scale=v_scale)
+    oq_ok = (max_q == 1 and lora_layer is None
+             and envs.VXK_ATTN_OUT_QUANT()
+             and ("s8" in lp["wo"] or "s4" in lp["wo"]))
     attn = ops.flash_attn_varlen_func(
         q.reshape(t, hq, d), kc_l, None if fused else vc_l,
         max_q, cu_q, max_k,
         seqused_k=kv_lens, block_table=block_table, causal=True,
         kv_layout="fused" if fused else "bhsd",
         k_descale=k_scale, v_descale=v_scale,
-        window_size=window, s_aux=lp.get("sinks"))
+        window_size=window, s_aux=lp.get("sinks"), out_quant=oq_ok)
+    if oq_ok:
+        attn, attn_s = attn
+        if attn_s is not None:
+            out = _linear(None, lp["wo"], tp_axis, reduce_out=True,
+                          a_q=(attn.reshape(t, hq * d), attn_s))
+            return out, kc_l, vc_l
     out = _linear(attn.reshape(t, hq * d), lp["wo"], tp_axis,
                   reduce_out=True,
                   lora=_lora_for(lora_layer, "wo", lora_idx))

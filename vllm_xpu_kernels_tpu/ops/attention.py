@@ -245,6 +245,7 @@ def flash_attn_varlen_func(
     kv_layout: str = "bshd",                  # paged cache layout, see below
     fresh_kv: Optional[jax.Array] = None,     # [B, Hkv, Dk+Dv] new-token row
     fresh_slots: Optional[jax.Array] = None,  # [B] cache slots (<0 = skip)
+    out_quant: bool = False,                  # fused int8 output quant
 ):
     """Varlen flash attention with optional paged KV — the reference's
     single public attention entry (flash_attn_interface.py:284,
@@ -263,9 +264,16 @@ def flash_attn_varlen_func(
     requiring the row scattered into the cache *before* attention (the
     reference's reshape_and_cache -> varlen_fwd ordering), the decode
     kernel folds it into the online-softmax epilogue; the cache-row
-    scatter then has no same-step consumer, so XLA schedules it off the
-    decode critical path.  The updated cache is an ADDITIONAL (last)
-    return value.
+    write happens inside the kernel (in-place alias) or as an
+    off-critical-path scatter.  The updated cache is an ADDITIONAL
+    (last) return value.
+
+    ``out_quant``: request fused per-token dynamic int8 quant of the
+    attention output (for int8 o-projections).  When set, every return's
+    ``out`` element becomes a PAIR ``(out, scale)``: ``scale`` is the
+    per-token [total_q] f32 quant scale and ``out`` is int8 when the
+    fused epilogue ran, or ``(out_bf16, None)`` when the executing path
+    cannot fuse (caller quantizes itself).
     """
     assert (cu_seqlens_k is None) != (seqused_k is None), (
         "provide exactly one of cu_seqlens_k / seqused_k")
@@ -300,29 +308,41 @@ def flash_attn_varlen_func(
             k = k.transpose(0, 2, 1, 3)
             v = v.transpose(0, 2, 1, 3)
         if paged and max_seqlen_q == 1:
-            res = fa.paged_decode(
+            res = list(fa.paged_decode(
                 q, k, v, cu_seqlens_q, seqused_k, block_table,
                 scale=softmax_scale, window=window, softcap=softcap,
                 sink=s_aux, k_descale=k_descale, v_descale=v_descale,
                 max_seqlen_k=max_seqlen_k,
                 num_splits_kv=num_splits_kv or 0,
                 fresh_kv=fresh_kv, fresh_slots=fresh_slots,
-            )
-            out, lse = res[0], res[1]
-            if fresh_kv is not None:
+                out_quant=out_quant,
+            ))
+            out, lse = res.pop(0), res.pop(0)
+            # paged_decode emits [out, lse, scale (only when the fused
+            # epilogue ran), new_cache (only in fresh mode)]
+            o_scale = res.pop(0) if len(res) == (2 if fresh_kv is not None
+                                                 else 1) else None
+            if o_scale is None:
                 out = out.astype(in_dtype)
+            if out_quant:
+                out = (out, o_scale)
+            if fresh_kv is not None:
                 if return_softmax_lse:
-                    return out, lse, res[2]
-                return out, res[2]
-        else:
-            out, lse = fa.chunk_prefill(
-                q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, block_table,
-                max_seqlen_q=max_seqlen_q, max_seqlen_k=max_seqlen_k,
-                scale=softmax_scale, causal=causal, window=window,
-                softcap=softcap, sink=s_aux,
-                k_descale=k_descale, v_descale=v_descale,
-            )
+                    return out, lse, res[0]
+                return out, res[0]
+            if return_softmax_lse:
+                return out, lse
+            return out
+        out, lse = fa.chunk_prefill(
+            q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, block_table,
+            max_seqlen_q=max_seqlen_q, max_seqlen_k=max_seqlen_k,
+            scale=softmax_scale, causal=causal, window=window,
+            softcap=softcap, sink=s_aux,
+            k_descale=k_descale, v_descale=v_descale,
+        )
         out = out.astype(in_dtype)
+        if out_quant:
+            out = (out, None)
         if return_softmax_lse:
             return out, lse
         return out
@@ -363,6 +383,8 @@ def flash_attn_varlen_func(
     # repack [B, Qp, Hq, Dv] -> [total_q, Hq, Dv]
     seq_of_row, pos_of_row = _row_maps(cu_seqlens_q, t, batch)
     out = out_pad[seq_of_row, pos_of_row].astype(q.dtype)
+    if out_quant:
+        out = (out, None)   # reference tier: caller quantizes
     if return_softmax_lse:
         lse = lse_pad[seq_of_row, :, pos_of_row].T  # [Hq, total_q]
         return (out, lse, new_cache) if new_cache is not None else (out, lse)

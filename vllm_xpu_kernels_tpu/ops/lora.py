@@ -8,10 +8,20 @@ Semantics (vLLM bgmv contract):
 - ``bgmv_expand_slice``: expand written into out[:, off:off+size]
 - idx[t] < 0 → token has no adapter (contributes zero / passthrough).
 
-TPU-first: per-token adapter gather + batched einsum.  The rank dim is
-tiny (8-64), so the op is HBM-bound on the A/B gathers; XLA fuses the
-gather into the einsum loop.  ``moe_lora_align_block_size`` composes the
-MoE alignment with per-(expert, adapter) sub-buckets
+TPU-first tiers:
+
+- **Kernel tier**: tokens stable-sort by adapter id into contiguously-
+  grouped rows and run through the grouped-matmul machinery (adapters
+  play the role of experts; ops.moe.grouped_gemm -> block-aligned
+  kernels/grouped_matmul.py) — each adapter's A/B weights stream ONCE
+  per call.  The reference's lora_shrink.cpp streams each adapter once
+  per token group the same way.
+- **Reference tier**: per-token adapter gather + batched einsum (golden
+  twin; materializes a [T, R, H] gathered weight copy — fine for tests,
+  ~4 GB at prefill scale).
+
+``moe_lora_align_block_size`` composes the MoE alignment with
+per-(expert, adapter) sub-buckets
 (csrc/moe/moe_align_sum_kernels.cpp moe_lora_align_block_size).
 """
 
@@ -22,12 +32,34 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from vllm_xpu_kernels_tpu.registry import register_op
+from vllm_xpu_kernels_tpu.registry import register_op, use_pallas
 
 
 def _gathered(weights, idx):
     safe = jnp.clip(idx, 0, weights.shape[0] - 1)
     return jnp.take(weights, safe, axis=0), (idx >= 0)
+
+
+def _grouped_bgmv(x, w_ekn, idx):
+    """Adapter-grouped matmul: x [T, K] x w [L, K, N] selected per token
+    by ``idx`` ([T], -1 = none -> zero row).  Tokens stable-sort by
+    adapter into the contiguous grouped-rows layout and run through
+    ops.moe.grouped_gemm (one weight stream per adapter).  -> [T, N] f32.
+    """
+    from vllm_xpu_kernels_tpu.ops.moe import grouped_gemm
+
+    t = x.shape[0]
+    l_ = w_ekn.shape[0]
+    ids = idx.astype(jnp.int32)
+    key = jnp.where(ids < 0, l_, ids)
+    order = jnp.argsort(key, stable=True)
+    counts = jnp.zeros((l_,), jnp.int32).at[
+        jnp.clip(ids, 0, l_ - 1)].add((ids >= 0).astype(jnp.int32))
+    x_sorted = jnp.take(x.astype(jnp.bfloat16), order, axis=0)
+    out_sorted = grouped_gemm(x_sorted, w_ekn, counts,
+                              out_dtype=jnp.float32)
+    return jnp.zeros((t, w_ekn.shape[2]), jnp.float32).at[order].set(
+        out_sorted, unique_indices=True)
 
 
 @register_op("bgmv_shrink", "lora")
@@ -37,8 +69,13 @@ def bgmv_shrink(
     token_lora_mapping: jax.Array,   # [T] int, -1 = none
     scaling: float = 1.0,
 ) -> jax.Array:
-    """-> [T, R] f32 (reference writes into a f32 out buffer)."""
-    w, valid = _gathered(lora_a, token_lora_mapping.astype(jnp.int32))
+    """-> [T, R] f32 (reference writes into a f32 out buffer;
+    csrc/xpu/lora/lora_shrink.cpp:39-442)."""
+    idx = token_lora_mapping.astype(jnp.int32)
+    if use_pallas():
+        out = _grouped_bgmv(inputs, jnp.swapaxes(lora_a, 1, 2), idx)
+        return (out * scaling).astype(jnp.float32)
+    w, valid = _gathered(lora_a, idx)
     out = jnp.einsum(
         "th,trh->tr", inputs.astype(jnp.float32), w.astype(jnp.float32))
     out = jnp.where(valid[:, None], out * scaling, 0.0)
@@ -53,10 +90,15 @@ def bgmv_expand(
     token_lora_mapping: jax.Array,
     add_inputs: bool = True,
 ) -> jax.Array:
-    w, valid = _gathered(lora_b, token_lora_mapping.astype(jnp.int32))
-    delta = jnp.einsum(
-        "tr,thr->th", inputs.astype(jnp.float32), w.astype(jnp.float32))
-    delta = jnp.where(valid[:, None], delta, 0.0)
+    idx = token_lora_mapping.astype(jnp.int32)
+    if use_pallas():
+        delta = _grouped_bgmv(inputs, jnp.swapaxes(lora_b, 1, 2), idx)
+    else:
+        w, valid = _gathered(lora_b, idx)
+        delta = jnp.einsum(
+            "tr,thr->th", inputs.astype(jnp.float32),
+            w.astype(jnp.float32))
+        delta = jnp.where(valid[:, None], delta, 0.0)
     base = output.astype(jnp.float32) if add_inputs else 0.0
     return (base + delta).astype(output.dtype)
 
@@ -72,10 +114,15 @@ def bgmv_expand_slice(
     add_inputs: bool = True,
 ) -> jax.Array:
     """Expand into a column slice of a packed output (e.g. fused qkv)."""
-    w, valid = _gathered(lora_b, token_lora_mapping.astype(jnp.int32))
-    delta = jnp.einsum(
-        "tr,thr->th", inputs.astype(jnp.float32), w.astype(jnp.float32))
-    delta = jnp.where(valid[:, None], delta, 0.0)
+    idx = token_lora_mapping.astype(jnp.int32)
+    if use_pallas():
+        delta = _grouped_bgmv(inputs, jnp.swapaxes(lora_b, 1, 2), idx)
+    else:
+        w, valid = _gathered(lora_b, idx)
+        delta = jnp.einsum(
+            "tr,thr->th", inputs.astype(jnp.float32),
+            w.astype(jnp.float32))
+        delta = jnp.where(valid[:, None], delta, 0.0)
     seg = output[:, slice_offset:slice_offset + slice_size].astype(
         jnp.float32)
     seg = (seg + delta) if add_inputs else delta

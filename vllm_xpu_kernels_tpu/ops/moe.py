@@ -351,16 +351,72 @@ def grouped_gemm(
     (csrc/xpu/torch_bindings.cpp:41-53 ``cutlass_grouped_gemm_interface``,
     Xe2 impl grouped_gemm_xe2_interface.hpp:71-350).
 
-    XLA implementation: rows are assigned segment ids from the prefix sums
-    and every expert's weights are applied through one batched einsum over
-    a segment one-hot — the reference's persistent atomic scheduler has no
-    TPU analogue (grids execute sequentially; see kernels/grouped_matmul.py
-    for the block-aligned fused-pipeline kernel).
+    Kernel tier: the contiguously-grouped rows are re-bucketed into the
+    block-aligned layout (one gather; static worst case
+    ``cdiv(R, bm) + E - 1`` blocks, the moe_align bound) and run through
+    kernels/grouped_matmul.py — each expert's weights stream ONCE.  The
+    jnp tier loops experts with masked full-matrix dots (golden twin;
+    O(E) flops — fine for tests, not for serving).
     """
+    from vllm_xpu_kernels_tpu.registry import use_pallas
+
     r, k_ = A.shape
     e, _, n = B.shape
     out_dtype = out_dtype or A.dtype
-    ends = jnp.cumsum(rows_per_expert.astype(jnp.int32))
+    counts = rows_per_expert.astype(jnp.int32)
+    ends = jnp.cumsum(counts)
+
+    kernel_ok = use_pallas() and (
+        A.dtype in (jnp.bfloat16, jnp.float16)
+        and (B.dtype in (jnp.bfloat16, jnp.float16)
+             or (B.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2))))
+    if kernel_ok:
+        from vllm_xpu_kernels_tpu.kernels.grouped_matmul import (
+            grouped_matmul_pallas)
+
+        bm = min(128, max(8, -(-r // 8) * 8))
+        nb = -(-r // bm) + e - 1            # static moe_align block bound
+        starts = ends - counts
+        blocks_e = -(-jnp.maximum(counts, 0) // bm)
+        bends = jnp.cumsum(blocks_e)
+        bstarts = bends - blocks_e
+        bi = jnp.arange(nb, dtype=jnp.int32)
+        eb = jnp.searchsorted(bends, bi, side="right").astype(jnp.int32)
+        eb = jnp.where(bi < bends[-1], jnp.clip(eb, 0, e - 1), -1)
+        a_pos = jnp.arange(nb * bm, dtype=jnp.int32)
+        blk = a_pos // bm
+        e_of = jnp.clip(eb[blk], 0, e - 1)
+        off = a_pos - bstarts[e_of] * bm
+        src = starts[e_of] + off
+        live = (eb[blk] >= 0) & (off < counts[e_of])
+        src_c = jnp.clip(jnp.where(live, src, 0), 0, r - 1)
+        a_al = jnp.take(A, src_c, axis=0)
+        quant = "none"
+        sc, kbias = scales, bias
+        if B.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+            quant = "fp8_channel"
+            sc = (jnp.ones((e, n), jnp.float32) if scales is None else
+                  (jnp.broadcast_to(scales[:, None].astype(jnp.float32),
+                                    (e, n))
+                   if scales.ndim == 1 else scales))
+        elif scales is not None:
+            # dense-weight scales don't fold in-kernel (the epilogue
+            # scale slot is the quant-recipe dequant); apply scale THEN
+            # bias post-hoc to keep the (x@W)*s + b order
+            sc, kbias = None, None
+        out_al = grouped_matmul_pallas(
+            a_al, B, eb, scales=sc, bias=kbias, quant=quant,
+            block_m=bm, out_dtype=jnp.float32)
+        if quant == "none" and scales is not None:
+            s = scales.astype(jnp.float32)
+            s2 = s[:, None] if s.ndim == 1 else s
+            out_al = out_al * s2[e_of]
+            if bias is not None:
+                out_al = out_al + bias.astype(jnp.float32)[e_of]
+        out = jnp.zeros((r + 1, n), jnp.float32).at[
+            jnp.where(live, src, r)].set(out_al, mode="drop")[:r]
+        return out.astype(out_dtype)
+
     seg = jnp.searchsorted(ends, jnp.arange(r, dtype=jnp.int32),
                            side="right").astype(jnp.int32)
     seg = jnp.clip(seg, 0, e - 1)

@@ -77,7 +77,15 @@ def fp8_paged_mqa_logits(
 ) -> jax.Array:
     """-> [B*next_n, max_model_len] f32 paged-decode indexer logits with
     speculative next_n query offsets (golden fp8_paged_mqa_logits_torch,
-    test_mqa_logits.py:107-172)."""
+    test_mqa_logits.py:107-172).
+
+    Performance tier: the Pallas kernel
+    (kernels/mqa_logits.paged_mqa_logits_pallas) streams the fp8 pages
+    by block table — the reference's dedicated kernel role
+    (mqa_logits_xe2.cpp:45).  The jnp tier below densifies the
+    dequantized KV (fine for tests, ~0.5 GB f32 at 128k context)."""
+    from vllm_xpu_kernels_tpu.registry import use_pallas
+
     b, next_n, h, d = q.shape
     if isinstance(kv_cache, (tuple, list)):
         # structured cache pair from ops.indexer_k_quant_and_cache
@@ -87,6 +95,13 @@ def fp8_paged_mqa_logits(
     else:
         bs = kv_cache.shape[1]
         vals, scales = unpack_indexer_kv_cache(kv_cache)
+    if use_pallas():
+        from vllm_xpu_kernels_tpu.kernels.mqa_logits import (
+            paged_mqa_logits_pallas)
+
+        return paged_mqa_logits_pallas(
+            q, vals, scales, weights, context_lens, block_tables,
+            max_model_len)
     max_blocks = min(block_tables.shape[1], -(-max_model_len // bs))
     tbl = block_tables[:, :max_blocks].astype(jnp.int32)
     kv_b = jnp.take(vals, tbl, axis=0).reshape(b, max_blocks * bs, d)

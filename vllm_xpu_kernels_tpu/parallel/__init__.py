@@ -18,6 +18,7 @@ from vllm_xpu_kernels_tpu.parallel.mesh import (  # noqa: F401
     replicate,
 )
 from vllm_xpu_kernels_tpu.parallel.context import (  # noqa: F401
+    cp_paged_decode,
     ring_attention,
 )
 from vllm_xpu_kernels_tpu.parallel.moe import (  # noqa: F401
