@@ -82,6 +82,12 @@ def np_gdn_golden(qkvz, ba, conv_state, ssm_state, conv_w, conv_b,
     ([1, 1], [True, True]),          # pure decode
     ([7], [False]),                  # pure prefill
     ([2, 2, 2], [True, True, False]),  # spec-decode style drafts
+    # mixed spec-decode batch: long continuation + drafts + decode +
+    # fresh prefill in one call (reference tests/gdn_attn mixed cases)
+    ([33, 4, 1, 17], [True, True, True, False]),
+    # long continued prefill crossing several 64-token chunks with a
+    # carried-in state
+    ([150], [True]),
 ])
 def test_gdn_attention(seq_lens, has_init, impl):
     nk, nv, hk, hv, w = 2, 4, 16, 32, 4
@@ -131,10 +137,54 @@ def test_gdn_attention(seq_lens, has_init, impl):
     assert_allclose(got_cs, untouched_cs, rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("nk,nv,hk,hv", [
+    (4, 4, 32, 32),    # rep == 1 (no KV-head broadcast)
+    (1, 4, 16, 16),    # single K head, wide broadcast
+])
+def test_gdn_attention_head_shapes(nk, nv, hk, hv, impl):
+    """Head-configuration sweep over the mixed varlen path (reference
+    tests/gdn_attn parametrizes num_heads/head dims the same way)."""
+    seq_lens, has_init = [6, 1, 3], [True, True, False]
+    w = 4
+    rep = nv // nk
+    c = nk * (2 * hk + rep * hv)
+    t_total = sum(seq_lens)
+    rng = np.random.default_rng(2)
+    qkvz = rng.standard_normal(
+        (t_total, nk * (2 * hk + 2 * rep * hv))).astype(np.float32) * 0.5
+    ba = rng.standard_normal((t_total, nk * 2 * rep)).astype(np.float32)
+    conv_state = rng.standard_normal((6, w - 1, c)).astype(np.float32)
+    ssm_state = rng.standard_normal((6, nv, hv, hk)).astype(np.float32) * 0.3
+    conv_w = rng.standard_normal((c, w)).astype(np.float32) * 0.3
+    conv_b = rng.standard_normal(c).astype(np.float32) * 0.1
+    A_log = rng.standard_normal(nv).astype(np.float32) * 0.3
+    dt_bias = rng.standard_normal(nv).astype(np.float32) * 0.3
+    qsl = np.concatenate([[0], np.cumsum(seq_lens)]).astype(np.int32)
+    state_idx = np.arange(len(seq_lens), dtype=np.int32) + 1
+    hinit = np.asarray(has_init)
+    g_out, g_z, g_cs, g_ss = np_gdn_golden(
+        qkvz, ba, conv_state, ssm_state, conv_w, conv_b, A_log, dt_bias,
+        qsl, state_idx, hinit, nk, nv, hk, hv)
+    out, z, cs, ss = ops.gdn_attention(
+        jnp.asarray(qkvz, jnp.bfloat16), jnp.asarray(ba, jnp.bfloat16),
+        jnp.asarray(conv_state), jnp.asarray(ssm_state),
+        jnp.asarray(conv_w), jnp.asarray(conv_b),
+        jnp.asarray(A_log), jnp.asarray(dt_bias),
+        jnp.asarray(qsl), jnp.asarray(state_idx), jnp.asarray(hinit),
+        num_k_heads=nk, num_v_heads=nv, head_k_dim=hk, head_v_dim=hv,
+        max_seqlen=max(seq_lens))
+    assert_allclose(out, g_out, rtol=4e-2,
+                    atol=4e-2 * max(1.0, np.abs(g_out).max()))
+    assert_allclose(z, g_z, rtol=2e-2, atol=2e-2)
+    assert_allclose(np.asarray(ss)[state_idx], g_ss[state_idx], rtol=4e-2,
+                    atol=4e-2 * max(1.0, np.abs(g_ss).max()))
+
+
 @pytest.mark.parametrize("seq_lens,chunk", [
     ([70, 1, 130], 64),   # crosses chunk boundaries, mixed batch
     ([64], 64),           # exact chunk
     ([5, 3], 4),          # tiny chunks
+    ([256, 2, 2, 1], 64),  # long prefill + spec drafts + decode mix
 ])
 def test_gdn_chunked_matches_scan(seq_lens, chunk, impl):
     """Chunked (WY-transform) delta rule == token scan."""

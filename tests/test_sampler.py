@@ -55,6 +55,67 @@ def test_apply_top_k_top_p(use_k, use_p):
     assert_allclose(out_np[fin], golden[fin], rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("use_k", [True, False])
+@pytest.mark.parametrize("use_p", [True, False])
+def test_apply_top_k_top_p_bisect(use_k, use_p):
+    """The exact key-bisection threshold path (large vocab, no sort)
+    matches the full-sort golden, including keep-all rows, k beyond any
+    window, and near-flat logits with a wide nucleus."""
+    if not (use_k or use_p):
+        return
+    b, v, window = 8, 8192, 64
+    rng = np.random.default_rng(5)
+    logits = rng.standard_normal((b, v)).astype(np.float32) * 3
+    k = rng.integers(1, 300, b).astype(np.int32) if use_k else None
+    if use_k:
+        k[0] = v          # keep-all row
+    p = rng.uniform(0.3, 0.9, b).astype(np.float32) if use_p else None
+    out = ops.apply_top_k_top_p(
+        jnp.asarray(logits),
+        None if k is None else jnp.asarray(k),
+        None if p is None else jnp.asarray(p), window=window)
+    out_np = np.asarray(out)
+    if p is None:
+        # top-k thresholds are exact order statistics: bitwise mask match
+        golden = np_apply_top_k_top_p(logits, k, p)
+        np.testing.assert_array_equal(
+            np.isfinite(out_np), np.isfinite(golden))
+        fin = np.isfinite(golden)
+        assert_allclose(out_np[fin], golden[fin], rtol=1e-5, atol=1e-5)
+    else:
+        # top-p boundary tokens are decided by f32 mass sums whose
+        # accumulation ORDER differs between the bisection and the
+        # golden's ascending cumsum — sandwich between golden masks at
+        # p*(1 -/+ eps) (monotone in p) instead of bit-matching
+        g_lo = np.isfinite(np_apply_top_k_top_p(logits, k, p * (1 - 1e-4)))
+        g_hi = np.isfinite(np_apply_top_k_top_p(logits, k, p * (1 + 1e-4)))
+        ours = np.isfinite(out_np)
+        assert not (g_lo & ~ours).any()
+        assert not (ours & ~g_hi).any()
+        assert_allclose(out_np[ours], logits[ours].astype(np.float32),
+                        rtol=1e-5, atol=1e-5)
+
+    # near-flat logits (wide nucleus / k past any window heuristic)
+    logits2 = rng.standard_normal((b, v)).astype(np.float32) * 0.01
+    k2 = (np.full(b, window + 9, np.int32) if use_k else None)
+    p2 = np.full(b, 0.999, np.float32) if use_p else None
+    out2 = np.asarray(ops.apply_top_k_top_p(
+        jnp.asarray(logits2),
+        None if k2 is None else jnp.asarray(k2),
+        None if p2 is None else jnp.asarray(p2), window=window))
+    ours2 = np.isfinite(out2)
+    if p2 is None:
+        golden2 = np_apply_top_k_top_p(logits2, k2, p2)
+        np.testing.assert_array_equal(ours2, np.isfinite(golden2))
+    else:
+        g2_lo = np.isfinite(
+            np_apply_top_k_top_p(logits2, k2, p2 * (1 - 1e-4)))
+        g2_hi = np.isfinite(
+            np_apply_top_k_top_p(logits2, k2, p2 * (1 + 1e-4)))
+        assert not (g2_lo & ~ours2).any()
+        assert not (ours2 & ~g2_hi).any()
+
+
 def test_topk_topp_sampler_statistics():
     """Sampled distribution matches the filtered softmax (reference
     validates via fixed seeds; we validate the distribution itself)."""

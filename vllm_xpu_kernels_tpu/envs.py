@@ -58,6 +58,14 @@ VXK_DECODE_STAGE = _register(
     "VXK_DECODE_STAGE", int, 0,
     "Pages per staged online-softmax fold in the 'dma' decode kernel "
     "(0 = auto: per-page register folds).")
+VXK_MXFP4_NATIVE = _register(
+    "VXK_MXFP4_NATIVE", _bool, False,
+    "mxfp4 grouped GEMM dequant via the chip's native e2m1 upcast "
+    "(bitcast + astype, row-interleaved) instead of the halfword "
+    "bit-assembly.  Default OFF: measured 31 GB/s on v5e (the Mosaic "
+    "e2m1->bf16 cast is scalar-slow, like the e4m3 cast) vs ~200 GB/s "
+    "for the bit-assembly — kept as an opt-in probe for future chips "
+    "with native fp4 datapaths.")
 VXK_ATTN_OUT_QUANT = _register(
     "VXK_ATTN_OUT_QUANT", _bool, False,
     "Fuse the o-projection's per-token int8 activation quant into the "

@@ -65,10 +65,12 @@ def _cdiv(a, b):
 
 def _gmm_kernel(spec, ebv_ref, ebf_ref, *refs):
     import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     packed = spec["quant"] in ("int4", "mxfp4")
+    native = spec.get("native_e2m1", False)
     it = iter(refs)
-    if packed:
+    if packed and not native:
         a_lo_ref = next(it)
         a_hi_ref = next(it)
     else:
@@ -99,6 +101,32 @@ def _gmm_kernel(spec, ebv_ref, ebf_ref, *refs):
             acc_ref[:] += jax.lax.dot_general(
                 a_ref[...], b_ref[0], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
+            return
+        if packed and native:
+            # mxfp4 via the NATIVE e2m1 upcast: one bitcast+astype
+            # converts BOTH nibble planes (row-interleaved order — folded
+            # into the host-side activation column permutation), one fat
+            # [bm, bk] dot instead of two half-plane dots.  Interleaved
+            # row j's scale group is j // g (both nibbles of a packed
+            # byte row share a group), so the pow2 scales broadcast over
+            # contiguous g-row spans — 16-row-tile aligned for g % 16
+            # == 0, no relayout.  Measured faster than the halfword
+            # bit-assembly on v5e (the e2m1 field build was the grouped
+            # mxfp4 bound at ~200 GB/s).
+            S = spec["b_sub"]
+            gg = spec["g"]
+            raw = b_ref[0]                       # [pb, bn] packed bytes
+            bn = raw.shape[-1]
+            vals = pltpu.bitcast(
+                raw, jnp.float4_e2m1fn).astype(jnp.bfloat16)  # [2pb, bn]
+            sv = s_ref[...].astype(jnp.bfloat16)              # [S, 1, bn]
+            x = (vals.reshape(S, gg, bn) * sv).reshape(2 * raw.shape[0],
+                                                       bn)
+            a = a_ref[...]
+            if a.dtype == jnp.float16:
+                a = a.astype(jnp.float32)
+            acc_ref[:] += jnp.dot(a.astype(jnp.bfloat16), x,
+                                  preferred_element_type=jnp.float32)
             return
         if packed:
             S = spec["b_sub"]
@@ -212,6 +240,18 @@ def _splitk_perm(k_dim: int, group_size: int):
 
 
 @functools.lru_cache(maxsize=64)
+def _interleave_perm(k_dim: int, group_size: int):
+    """Original K index for each native-e2m1-interleaved row j: the
+    bitcast emits (lo, hi) nibbles of packed byte row r as rows 2r and
+    2r+1 (verified on v5e), and split-K packing put orig rows
+    (G*g + w | G*g + g/2 + w) in byte row G*(g/2) + w."""
+    j = np.arange(k_dim)
+    r = j // 2
+    h = group_size // 2
+    return (r // h) * group_size + r % h + (j % 2) * h
+
+
+@functools.lru_cache(maxsize=64)
 def _splitk_perm_sigma(k_dim: int, group_size: int, pb: int):
     """_splitk_perm composed with the block-local sigma row order that
     :func:`packed_plane_to_bf16` emits (bf16 pairs assembled from i32
@@ -318,9 +358,16 @@ def grouped_matmul_pallas(
     fast_packed = (packed and bk // 2 % 4 == 0 and group_size % 32 == 0
                    and (bk // 2) % (group_size // 2) == 0
                    and b_sub % 2 == 0)
+    # mxfp4: the chip's native e2m1 upcast (bitcast + astype) beats the
+    # halfword bit-assembly — one conversion covers both nibble planes
+    # and feeds ONE fat dot
+    from vllm_xpu_kernels_tpu.envs import VXK_MXFP4_NATIVE
+
+    native_e2m1 = (quant == "mxfp4" and VXK_MXFP4_NATIVE()
+                   and group_size % 16 == 0 and bk % group_size == 0)
     spec = dict(
         quant=quant, b_sub=b_sub, g=group_size,
-        fast_packed=fast_packed,
+        fast_packed=fast_packed, native_e2m1=native_e2m1,
         has_scale=scales is not None,
         has_row_scale=row_scales is not None,
         has_bias=bias is not None,
@@ -344,7 +391,19 @@ def grouped_matmul_pallas(
 
     in_specs = []
     operands = []
-    if packed:
+    if packed and native_e2m1:
+        pb = bk // 2
+        a_n = jnp.take(a, jnp.asarray(_interleave_perm(K, group_size)),
+                       axis=1)
+
+        def a_map(i, j, k, ebv, ebf):
+            return (i, frz(ebv, i, k, nk - 1))
+
+        in_specs.append(pl.BlockSpec((bm, bk), a_map))
+        operands.append(a_n)
+        in_specs.append(pl.BlockSpec((1, pb, bn), b_map))
+        operands.append(b)
+    elif packed:
         pb = bk // 2
         if fast_packed:
             lo_idx, hi_idx = _splitk_perm_sigma(K, group_size, pb)

@@ -441,7 +441,7 @@ def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
                      block_table, kv_lens, cu_q, max_q, max_k, tp_axis,
                      k_scale=None, v_scale=None, lora_layer=None,
                      lora_idx=None, fresh_prefill=False, a_q=None,
-                     window=None):
+                     window=None, decode_tail=0):
     t = (x if x is not None else a_q[0]).shape[0]
     hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
     qkv = _linear(x, lp["wqkv"], a_q=a_q,
@@ -519,14 +519,44 @@ def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
             k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l, vc_l,
             slot_mapping, kv_cache_dtype=kv_dt,
             k_scale=k_scale, v_scale=v_scale)
+    layout = "fused" if fused else "bhsd"
+    vin = None if fused else vc_l
+    if decode_tail > 0 and max_q > 1:
+        # mixed-batch split routing (reference flash_api.cpp:236-322):
+        # the batch's LAST ``decode_tail`` sequences are 1-token decode
+        # rows — sending them through the prefill kernel costs a full
+        # bq-padded q tile each; route them to the decode kernel and
+        # concatenate.  ``decode_tail`` is static (a jit specialization
+        # key, like max_q).
+        nd = decode_tail
+        bp = int(cu_q.shape[0]) - 1 - nd
+        q3 = q.reshape(t, hq, d)
+        attn_p = ops.flash_attn_varlen_func(
+            q3[: t - nd], kc_l, vin, max_q, cu_q[: bp + 1], max_k,
+            seqused_k=kv_lens[:bp], block_table=block_table[:bp],
+            causal=True, kv_layout=layout,
+            k_descale=k_scale, v_descale=v_scale,
+            window_size=window, s_aux=lp.get("sinks"))
+        attn_d = ops.flash_attn_varlen_func(
+            q3[t - nd:], kc_l, vin, 1,
+            jnp.arange(nd + 1, dtype=jnp.int32), max_k,
+            seqused_k=kv_lens[bp:], block_table=block_table[bp:],
+            causal=True, kv_layout=layout,
+            k_descale=k_scale, v_descale=v_scale,
+            window_size=window, s_aux=lp.get("sinks"))
+        attn = jnp.concatenate([attn_p, attn_d], axis=0)
+        out = _linear(attn.reshape(t, hq * d), lp["wo"], tp_axis,
+                      reduce_out=True,
+                      lora=_lora_for(lora_layer, "wo", lora_idx))
+        return out, kc_l, vc_l
     oq_ok = (max_q == 1 and lora_layer is None
              and envs.VXK_ATTN_OUT_QUANT()
              and ("s8" in lp["wo"] or "s4" in lp["wo"]))
     attn = ops.flash_attn_varlen_func(
-        q.reshape(t, hq, d), kc_l, None if fused else vc_l,
+        q.reshape(t, hq, d), kc_l, vin,
         max_q, cu_q, max_k,
         seqused_k=kv_lens, block_table=block_table, causal=True,
-        kv_layout="fused" if fused else "bhsd",
+        kv_layout=layout,
         k_descale=k_scale, v_descale=v_scale,
         window_size=window, s_aux=lp.get("sinks"), out_quant=oq_ok)
     if oq_ok:
@@ -558,7 +588,7 @@ def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
                     block_table, kv_lens, cu_q, max_q, max_k,
                     k_cache, v_cache, tp_axis, k_scale=None, v_scale=None,
                     lora_params=None, lora_idx=None, fresh_prefill=False,
-                    mlp_fn=None):
+                    mlp_fn=None, decode_tail=0):
     """Shared prefill/decode body over packed tokens [T].
 
     ``mlp_fn(cfg, lp, x, tp_axis)`` replaces the dense gated MLP when a
@@ -594,7 +624,7 @@ def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
             slot_mapping, block_table, kv_lens, cu_q, max_q, max_k,
             tp_axis, k_scale, v_scale, ll, lora_idx,
             fresh_prefill=fresh_prefill, a_q=aq1,
-            window=cfg.attn_window(li))
+            window=cfg.attn_window(li), decode_tail=decode_tail)
         if fuse8 and mlp_fn is None:
             h2q8, h2s8, residual = ops.rms_norm_dynamic_per_token_quant(
                 attn, lp["ln2"], cfg.rms_eps, jnp.int8, residual=residual)
@@ -659,13 +689,20 @@ def prefill_step(
     k_scale=None, v_scale=None,
     lora_params=None, lora_idx=None,
     fresh_prefill: bool = False,
+    decode_tail: int = 0,
 ):
     """Chunked/whole prefill over packed sequences -> (logits [T, V],
     caches).  Set ``fresh_prefill=True`` (static) when every sequence in
     the batch starts at position 0 — enables page-granular cache writes
-    (ops.reshape_and_cache_tpu_prefill)."""
+    (ops.reshape_and_cache_tpu_prefill).
+
+    ``decode_tail`` (static): the batch's last N sequences are 1-token
+    decode rows of a MIXED batch — their attention routes to the paged
+    decode kernel instead of paying a padded prefill q tile
+    (reference flash_api.cpp:236-322 mix_batch split)."""
     return _forward_tokens(
         cfg, params, token_ids, positions, slot_mapping, block_table,
         kv_lens, cu_seqlens_q, max_seqlen_q, max_seqlen_k,
         k_cache, v_cache, tp_axis, k_scale, v_scale,
-        lora_params, lora_idx, fresh_prefill=fresh_prefill)
+        lora_params, lora_idx, fresh_prefill=fresh_prefill,
+        decode_tail=decode_tail)

@@ -219,6 +219,15 @@ def _bucket(n: int, lo: int = 1) -> int:
     return b
 
 
+def _supports_decode_tail(fn) -> bool:
+    import inspect
+
+    try:
+        return "decode_tail" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 def serve(cfg, params, kc, vc, requests, *, prefill_step: Callable,
           decode_step: Callable, scheduler: Optional[Scheduler] = None,
           mgr: Optional[BlockManager] = None, num_blocks: int = 0,
@@ -257,12 +266,22 @@ def serve(cfg, params, kc, vc, requests, *, prefill_step: Callable,
         if out.kind == "prefill":
             (seq_ids, token_ids, positions, cu_q, slots, tbl, kv_lens,
              mq, mk) = build_chunked_prefill_batch(mgr, out.chunks)
+            # mixed-batch split routing: the decode riders are the LAST
+            # sequences of the chunks dict (Scheduler.step appends them
+            # after the admission chunks); prefill_step routes their
+            # attention to the decode kernel (flash_api.cpp:236-322)
+            nd = len(out.decoding)
+            kw = {}
+            if nd and _supports_decode_tail(prefill_step):
+                assert [r.seq_id for r in out.decoding] == \
+                    list(seq_ids[len(seq_ids) - nd:])
+                kw["decode_tail"] = nd
             logits, kc, vc = prefill_step(
                 cfg, params, jnp.asarray(token_ids), jnp.asarray(positions),
                 jnp.asarray(cu_q), jnp.asarray(slots), jnp.asarray(tbl),
                 jnp.asarray(kv_lens), kc, vc,
                 max_seqlen_q=_cdiv(mq, 8) * 8,
-                max_seqlen_k=min(max_k, _cdiv(mk, 16) * 16))
+                max_seqlen_k=min(max_k, _cdiv(mk, 16) * 16), **kw)
             # rows that emit a token: contexts completing with this batch
             # plus (mixed batches) the 1-token rows of running sequences
             emit = {r.seq_id for r in out.completing}
