@@ -78,6 +78,10 @@ def main():
     ap.add_argument("--seq-len", type=int, default=512)
     ap.add_argument("--n-tokens", type=int, default=2048)
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--layers", type=int, default=0,
+                    help="truncate the model to N layers (a full-depth "
+                         "bf16 8B reference exceeds one v5e's HBM; the "
+                         "per-layer quant error compounds the same way)")
     ap.add_argument("--hf-dir", default=None,
                     help="HF checkpoint dir (safetensors); default: "
                          "random-weight model")
@@ -95,6 +99,9 @@ def main():
         from vllm_xpu_kernels_tpu.models.loader import (
             load_llama_params, read_hf_config)
         cfg = read_hf_config(args.hf_dir)
+        if args.layers:
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, num_layers=args.layers)
         params_bf16 = load_llama_params(cfg, args.hf_dir, quant="none")
     elif args.small:
         cfg = LlamaConfig(
@@ -104,7 +111,8 @@ def main():
         args.seq_len, args.n_tokens = 64, 256
         params_bf16 = init_params(cfg, jax.random.PRNGKey(0))
     else:
-        cfg = LlamaConfig(quant="none", block_size=128, max_position=16384)
+        cfg = LlamaConfig(quant="none", block_size=128, max_position=16384,
+                          num_layers=args.layers or 32)
         params_bf16 = init_params(cfg, jax.random.PRNGKey(0))
 
     if args.tokens:

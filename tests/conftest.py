@@ -29,9 +29,23 @@ import pytest  # noqa: E402
 SCOPE = os.environ.get("VXK_TEST_SCOPE", "ci")
 
 
-def scoped(values, ci=None, mini=None):
+def scoped(values, ci=None, mini=None, key=None):
     """Explicit per-scope parametrize values (reference:
-    tests/test_scope_profiles.py pattern)."""
+    tests/test_scope_profiles.py pattern + docs/test_scope_design.md).
+
+    Scopes: ``full`` keeps ``values``; ``ci`` / ``mini`` use the
+    trimmed lists; ``ondemand:<profile>`` swaps in one model family's
+    shapes for parametrize sites that declare a ``key`` (unknown keys
+    keep their ci values) — e.g. ``VXK_TEST_SCOPE=ondemand:deepseek``
+    runs attention tests only at MLA head sizes."""
+    if SCOPE.startswith("ondemand:"):
+        if key is not None:
+            from tests.scope_profiles import profile_values
+
+            vals = profile_values(SCOPE.split(":", 1)[1], key)
+            if vals is not None:
+                return vals
+        return ci if ci is not None else values
     if SCOPE == "mini" and mini is not None:
         return mini
     if SCOPE in ("ci", "mini") and ci is not None:

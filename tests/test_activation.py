@@ -19,6 +19,7 @@ SHAPES = scoped(
     [(7, 512), (83, 2048), (1, 128), (256, 11264)],
     ci=[(7, 512), (83, 2048)],
     mini=[(7, 512)],
+    key="ew_shapes",
 )
 DTYPES = scoped([jnp.bfloat16, jnp.float16, jnp.float32], ci=[jnp.bfloat16, jnp.float32])
 

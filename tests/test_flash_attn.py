@@ -105,10 +105,11 @@ DECODE_LENS = [[(1, 1025), (1, 523), (1, 37)]]
 
 
 @pytest.mark.parametrize("seq_lens", SEQ_LENS)
-@pytest.mark.parametrize("head_size", scoped([64, 128, 256], ci=[64, 128]))
+@pytest.mark.parametrize("head_size", scoped([64, 128, 256], ci=[64, 128], key="head_size"))
 @pytest.mark.parametrize("causal", [True, False])
 @pytest.mark.parametrize("window", scoped(
-    [(-1, -1), (127, -1), (64, 64)], ci=[(-1, -1), (127, -1)]))
+    [(-1, -1), (127, -1), (64, 64)], ci=[(-1, -1), (127, -1)],
+    key="window"))
 def test_varlen_paged(seq_lens, head_size, causal, window, impl):
     qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \
         make_paged(seq_lens, (8, 2), head_size, head_size, 16, 512,
@@ -156,8 +157,8 @@ def test_varlen_nonpaged(seq_lens, impl):
 
 
 @pytest.mark.parametrize("seq_lens", DECODE_LENS)
-@pytest.mark.parametrize("head_size", scoped([64, 128, 256], ci=[64, 128]))
-@pytest.mark.parametrize("block_size", scoped([16, 64], ci=[16]))
+@pytest.mark.parametrize("head_size", scoped([64, 128, 256], ci=[64, 128], key="head_size"))
+@pytest.mark.parametrize("block_size", scoped([16, 64], ci=[16], key="block_size"))
 @pytest.mark.parametrize("window", [(-1, -1), (127, -1)])
 def test_decode_paged(seq_lens, head_size, block_size, window, impl):
     qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \

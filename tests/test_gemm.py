@@ -21,6 +21,7 @@ MNK = scoped(
     [(1, 128, 256), (8, 512, 512), (64, 256, 1024), (33, 384, 768)],
     ci=[(1, 128, 256), (64, 256, 1024), (33, 384, 768)],
     mini=[(8, 128, 256)],
+    key="gemm_mnk",
 )
 OUT_DTYPES = [jnp.bfloat16, jnp.float16]
 
@@ -83,6 +84,8 @@ def test_fp8_gemm_per_block(mnk, gk, gn, impl):
     """DeepSeek-style block-fp8: A per-token-group, B [K/gk, N/gn] blocks."""
     m, n, k = mnk
     gn = min(gn, n)
+    if n % gn:
+        gn = 128          # block grid must tile N exactly
     k1, k2, k3, k4 = keys(3, 4)
     aq = rand(k1, (m, k), jnp.float8_e4m3fn)
     bq = rand(k2, (k, n), jnp.float8_e4m3fn)

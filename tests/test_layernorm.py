@@ -15,6 +15,7 @@ SHAPES = scoped(
     [(7, 512), (83, 2048), (1, 128), (130, 5120)],
     ci=[(7, 512), (83, 2048)],
     mini=[(7, 512)],
+    key="ew_shapes",
 )
 DTYPES = [jnp.bfloat16, jnp.float16]
 EPS = 1e-6

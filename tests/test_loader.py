@@ -46,7 +46,7 @@ def _decode_logits(cfg, params, seed=3):
     return np.asarray(logits)
 
 
-@pytest.mark.parametrize("quant", scoped(["none", "fp8", "int8", "mxfp4"],
+@pytest.mark.parametrize("quant", scoped(["none", "fp8", "int8", "mxfp4"], key="quant",
                                          ci=["none", "int8", "mxfp4"],
                                          mini=["int8"]))
 def test_save_load_roundtrip(tmp_path, quant):
