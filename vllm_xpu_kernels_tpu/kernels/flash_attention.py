@@ -502,29 +502,13 @@ def _decode_kernel_dma(
     m = m_ref[...]
     l = l_ref[...]
     acc = acc_ref[...]
-    if fresh:
-        # fold the current token's (k, v) as one extra online-softmax
-        # column (same merge as the sink below, but with a value row).
-        # The fresh row is quantized like the cache, so the descale folds
-        # (qk_scale pre-folded into q, v_descale epilogue) apply to it
-        # identically.
-        if spec["fp8_kv"]:
-            kn = fp8_upcast_f32(fresh_ref[0, :, :, :d]).astype(jnp.bfloat16)
-            vn = fp8_upcast_f32(fresh_ref[0, :, :, d:])
-        else:
-            kn = fresh_ref[0, :, :, :d].astype(jnp.bfloat16)
-            vn = fresh_ref[0, :, :, d:].astype(jnp.float32)
-        s_new = jax.lax.dot_general(
-            q, kn, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)              # [hkv, g, 1]
-        if spec["softcap"]:
-            s_new = spec["softcap_mult"] * jnp.tanh(s_new / spec["softcap"])
-        m_f = jnp.maximum(jnp.maximum(m, s_new), _NEG)
-        corr = ex(m - m_f)
-        p_new = ex(s_new - m_f)                              # [hkv, g, 1]
-        l = l * corr + p_new
-        acc = acc * corr + p_new * vn                        # [hkv, g, dv]
-        m = m_f
+    # NOTE: in fresh mode the current token's (k, v) column is NOT
+    # folded here — per-sequence epilogue folds are two tiny
+    # latency-bound MXU dots per grid step (~2 ms/step at 8B batch 32);
+    # the caller merges the fresh column for the whole batch in ONE
+    # batched XLA op instead (paged_decode fresh merge).  The kernel's
+    # job in fresh mode is the masking (cached length) and the page-
+    # window writeback.
     if spec["fp8_kv"]:
         acc = acc * descale_ref[0, 1]    # v_descale folded out of the loop
     if spec["has_sink"]:
@@ -754,17 +738,51 @@ def paged_decode(
     # sizes (MLA 192/576, tiny test heads) take the pipelined kernel.
     dma_ok = (d % 128 == 0 and dv % 128 == 0 and bs % 8 == 0)
     if dma_ok and VXK_DECODE_IMPL() == "dma" and pages_per_step is None:
+        oq = out_quant and fresh_kv is None   # fresh merges post-kernel
         out4, lse4, o_scale, new_cache = _paged_decode_dma(
             q, k_cache, v_cache, seqused_k, block_table, scale=scale,
             window=window, softcap=softcap, sink=sink, k_descale=k_descale,
             v_descale=v_descale, max_seqlen_k=max_seqlen_k,
             fresh_kv=fresh_kv, fresh_slots=fresh_slots,
-            out_quant=out_quant)
+            out_quant=oq)
         out = out4.reshape(b_, hq, dv)
         lse = lse4.reshape(b_, hq).T
+        if fresh_kv is not None:
+            # merge the current token's column for the WHOLE batch in one
+            # batched op (merge_attn_states math with a value row) — the
+            # kernel only attends over the cached tokens and writes the
+            # cache row; per-sequence in-kernel folds were latency-bound
+            # tiny dots (~2 ms/step at 8B batch 32).  The quantized row
+            # upcasts exactly; descales fold like the kernel's.
+            knf = fresh_kv[:, :, :d].astype(jnp.float32)
+            vnf = fresh_kv[:, :, d:].astype(jnp.float32)
+            if k_descale is not None:
+                knf = knf * jnp.asarray(k_descale, jnp.float32)
+            if v_descale is not None:
+                vnf = vnf * jnp.asarray(v_descale, jnp.float32)
+            qf = q.reshape(b_, hkv, g, d).astype(jnp.float32) * scale
+            sk = jnp.einsum("bhgd,bhd->bhg", qf, knf)        # [B,hkv,g]
+            if softcap:
+                sk = softcap * jnp.tanh(sk / softcap)
+            sk = sk.reshape(b_, hq)
+            skip = (fresh_slots < 0)[:, None]                # padding rows
+            sk = jnp.where(skip, -jnp.inf, sk)
+            lse_t = lse.T                                    # [B, hq]
+            m = jnp.maximum(lse_t, sk)
+            m = jnp.maximum(m, -1e30)
+            w_o = jnp.exp(lse_t - m)
+            w_n = jnp.where(skip, 0.0, jnp.exp(sk - m))
+            den = jnp.maximum(w_o + w_n, 1e-38)
+            vrep = jnp.repeat(vnf, g, axis=1)                # [B, hq, dv]
+            out = ((out.astype(jnp.float32) * w_o[:, :, None]
+                    + vrep * w_n[:, :, None]) / den[:, :, None]
+                   ).astype(out.dtype)
+            lse = (m + jnp.log(den)).T
         res = [out, lse]
-        if out_quant:
+        if out_quant and oq:
             res.append(o_scale.reshape(b_))
+        elif out_quant:
+            res.append(None)
         if fresh_kv is not None:
             if new_cache is None:
                 # writeback ineligible (e.g. bs % 8): scatter instead —

@@ -37,6 +37,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vllm_xpu_kernels_tpu.registry import interpret_mode
 
@@ -116,6 +117,66 @@ def fp8_upcast_f32(x):
                         jnp.float32(0.015625))
         return jnp.where(me < 8, f * 2.0 - sgn, f)
     return x.astype(jnp.float32)
+
+
+def e4m3_pairs_to_bf16(raw):
+    """e4m3 bytes -> bf16 values assembled as HALFWORD PAIRS in i32
+    lanes — two values per lane op instead of :func:`fp8_upcast_f32`'s
+    one-per-i32-lane widen (the 4x lane waste is why the f32 trick tops
+    out ~311 GB/s).
+
+    bf16 field: sign<<15 | (e4m3 exp:mant << 4) + (120 << 7); the
+    subnormal half (e == 0) is fixed in bf16 arithmetic (f*2 - sgn*2^-6,
+    selected by |f| < 2^-6 — every normal maps to >= 2^-6).  Exact for
+    all codes except NaN (0x7f/0xff -> +-480, same as fp8_upcast_f32).
+
+    raw: [k, n] e4m3 (k % 4 == 0).  Returns bf16 [k, n] in SIGMA row
+    order (byte pairs of each i32 word land as rows 4w,4w+1 then
+    4w+2,4w+3 across the two output halves — :func:`e4m3_sigma_perm`
+    gives the original-row index per output row; GEMM callers fold it
+    into the activation column permutation like the packed-int4 paths).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    p32 = pltpu.bitcast(raw, jnp.int32)              # [k/4, n]
+
+    def halves(p):
+        uh = (p32 >> p) & 0x00FF00FF if p else p32 & 0x00FF00FF
+        mag = ((uh & 0x007F007F) << 4) + 0x3C003C00
+        sg = (uh & 0x00800080) << 8
+        # per-halfword NORMAL mask: exp bits (u & 0x78) nonzero
+        t = uh & 0x00780078
+        nm = (((t + 0x00780078) >> 7) & 0x00010001) * 0x0000FFFF
+        return mag | sg, nm
+
+    h_e, nm_e = halves(0)
+    h_o, nm_o = halves(8)
+
+    def interleave(a, b):
+        out_a = (a & 0x0000FFFF) | (b << 16)
+        out_b = ((a >> 16) & 0x0000FFFF) | (b & ~0x0000FFFF)
+        return jnp.concatenate([out_a, out_b], axis=0)
+
+    bits = interleave(h_e, h_o)
+    nm = interleave(nm_e, nm_o)
+    f = pltpu.bitcast(bits, jnp.bfloat16)
+    sign_bits = jnp.int32(0x80008000 - 2 ** 32)
+    sgn = pltpu.bitcast(0x3C803C80 | (bits & sign_bits), jnp.bfloat16)
+    # subnormal fix in bf16 ARITHMETIC (exact), selected by INT masks —
+    # Mosaic has no bf16 vector compare on this target
+    fix = pltpu.bitcast(f * jnp.bfloat16(2.0) - sgn, jnp.int32)
+    return pltpu.bitcast((bits & nm) | (fix & ~nm), jnp.bfloat16)
+
+
+@functools.lru_cache(maxsize=64)
+def e4m3_sigma_perm(k_dim: int):
+    """Original row index for each output row of
+    :func:`e4m3_pairs_to_bf16` (verified against the f32 trick on v5e).
+    """
+    j = np.arange(k_dim)
+    half = k_dim // 2
+    w = (j % half) // 2
+    return 4 * w + 2 * (j // half) + (j % half) % 2
 
 
 def e2m1_decode_f32(code):

@@ -302,8 +302,16 @@ def quantize_params(cfg_q: LlamaConfig, params):
                 nlp[name] = q
         out["layers"].append(nlp)
     if cfg_q.quant in ("w8a8", "w4a8") and "lm_head_q" not in out:
-        out["lm_head_q"] = quantize_linear(
-            params["embed"].astype(jnp.float32).T, "w8a8")
+        # vocab-sized f32 temporaries of a whole-matrix quantize OOM a
+        # chip that's already holding two model copies — chunk columns
+        et = params["embed"].T
+        chunks = [quantize_linear(
+            et[:, i:i + 16384].astype(jnp.float32), "w8a8")
+            for i in range(0, et.shape[1], 16384)]
+        out["lm_head_q"] = {
+            "w": jnp.concatenate([c["w"] for c in chunks], axis=1),
+            "s8": jnp.concatenate([c["s8"] for c in chunks]),
+        }
     return out
 
 
