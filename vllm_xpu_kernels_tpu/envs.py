@@ -66,6 +66,15 @@ VXK_MXFP4_NATIVE = _register(
     "e2m1->bf16 cast is scalar-slow, like the e4m3 cast) vs ~200 GB/s "
     "for the bit-assembly — kept as an opt-in probe for future chips "
     "with native fp4 datapaths.")
+VXK_E4M3_PAIRS = _register(
+    "VXK_E4M3_PAIRS", _bool, False,
+    "w8a16 fp8 GEMM: upcast e4m3 weights as bf16 halfword PAIRS in i32 "
+    "lanes (2 values/lane-op) instead of the one-per-lane f32 bit "
+    "trick; tile sigma order folds into an activation column "
+    "permutation.  Default OFF: measured SLOWER in situ on v5e 8B fp8 "
+    "decode (921 -> 757 tok/s; ~790 with the permutation hacked out — "
+    "the halfword interleave concat relayouts eat the lane-density "
+    "win).  Exact and kept as an opt-in probe.")
 VXK_ATTN_OUT_QUANT = _register(
     "VXK_ATTN_OUT_QUANT", _bool, False,
     "Fuse the o-projection's per-token int8 activation quant into the "
@@ -82,12 +91,14 @@ VXK_PREFILL_PAGES_PER_STEP = _register(
 VXK_DECODE_FRESH_KV = _register(
     "VXK_DECODE_FRESH_KV", _bool, False,
     "Decode attention consumes the current token's K/V as a direct "
-    "input (epilogue fold) instead of reading it back from the cache, "
-    "leaving the cache-row scatter dependency-free.  Measured NEUTRAL "
-    "to slightly slower on v5e 8B w8a8 (the step is core-time bound: "
-    "the scatter still executes, and the fold adds epilogue work) — "
-    "kept as an opt-in for configs where the scatter is the "
-    "bottleneck.")
+    "input instead of reading it back from the cache; the kernel also "
+    "writes the cache row itself (page-window writeback), removing the "
+    "XLA scatter entirely.  STILL measured slower on v5e 8B w8a8 "
+    "(1714 -> ~1550) across three designs — in-kernel per-seq fold, "
+    "external batched LSE merge, and scatter-free writeback: the 0.8 ms "
+    "scatter saving is eaten by defused elementwise chains and extra "
+    "launches (traced r3).  Kept as an opt-in for configs where the "
+    "scatter truly dominates (huge pages / tiny models).")
 
 VXK_ATTN_EXP2 = _register(
     "VXK_ATTN_EXP2", _bool, True,

@@ -179,6 +179,15 @@ def e4m3_sigma_perm(k_dim: int):
     return 4 * w + 2 * (j // half) + (j % half) % 2
 
 
+@functools.lru_cache(maxsize=64)
+def e4m3_block_perm(k_dim: int, bk: int):
+    """Activation column permutation matching per-K-tile sigma order of
+    :func:`e4m3_pairs_to_bf16` (the GEMM's B tiles convert tile-local)."""
+    tiles = k_dim // bk
+    sig = e4m3_sigma_perm(bk)
+    return (np.arange(tiles)[:, None] * bk + sig[None, :]).reshape(-1)
+
+
 def e2m1_decode_f32(code):
     """Arithmetic e2m1 decode (no LUT gather — VPU-friendly).
 
@@ -321,7 +330,15 @@ def _qmm_kernel(spec, *refs):
     mm_dtype = jnp.float32 if spec["mm_f32"] else jnp.bfloat16
     a = _to_mxu_operand(a_ref[...], spec["a_kind"], None, mm_dtype)
     S = spec["b_sub"]
-    if S > 1:
+    if spec.get("b_e4m3_pairs"):
+        # halfword-pair e4m3->bf16 assembly (2 values per i32 lane; the
+        # f32 bit-trick widens each byte to a full i32 lane).  Tile rows
+        # come out in sigma order — the caller permuted A's columns to
+        # match (K-group scales are constant within a tile, so post-dot
+        # scaling is unaffected).
+        b = e4m3_pairs_to_bf16(b_ref[...]).astype(mm_dtype)
+        b_s_post = b_s_ref
+    elif S > 1:
         # small-group (MX) mode: the K step spans S scale groups; dequantize
         # B in VMEM with a sublane broadcast-reshape.  Exact for power-of-two
         # (UE8M0) scales since fp8/fp4/int4 values fit bf16 losslessly.
@@ -792,6 +809,19 @@ def quant_matmul_pallas(
         pl.BlockSpec((bm, bk // apack), lambda i, j, k: (i, k)),
         pl.BlockSpec((bk // bpack, bn), lambda i, j, k: (k, j)),
     ]
+    # e4m3 halfword-pair upcast: ~2x the f32 bit-trick's lane density on
+    # the weight stream; tile rows land in sigma order, folded into a
+    # one-time activation column permutation (same pattern as the packed
+    # int4 paths).  Constant within a K tile, so group scales are
+    # unaffected.
+    from vllm_xpu_kernels_tpu.envs import VXK_E4M3_PAIRS
+
+    b_e4m3_pairs = (VXK_E4M3_PAIRS() and b_kind == "fp8"
+                    and b.dtype == jnp.float8_e4m3fn and b_sub == 1
+                    and not mm_f32 and a_kind == "dense"
+                    and b_zp is None and bk % 4 == 0)
+    if b_e4m3_pairs:
+        a = jnp.take(a, jnp.asarray(e4m3_block_perm(K, bk)), axis=1)
     operands = [a, b]
     spec = dict(
         a_kind=a_kind, b_kind=b_kind,
@@ -802,6 +832,7 @@ def quant_matmul_pallas(
         has_bias=bias is not None,
         mm_f32=mm_f32,
         b_sub=b_sub,
+        b_e4m3_pairs=b_e4m3_pairs,
     )
     # group scales go in as 3-D arrays with a leading group axis stepped by
     # the K grid (block size 1) — Mosaic's last-two-dims tiling rules allow
