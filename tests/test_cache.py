@@ -1,6 +1,8 @@
 """KV-cache op tests (mirrors reference tests/test_cache.py,
 test_indexer_k_quant_and_cache.py, test_cp_gather_indexer_k_quant_cache.py)."""
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -295,6 +297,33 @@ def test_reshape_and_cache_tpu_fused(kv_cache_dtype):
     fused = np.asarray(kvc2, np.float32)
     np.testing.assert_array_equal(fused[..., :HS], np.asarray(kc2, np.float32))
     np.testing.assert_array_equal(fused[..., HS:], np.asarray(vc2, np.float32))
+
+
+def test_reshape_and_cache_tpu_fused_unique_pages(impl, monkeypatch):
+    """unique_pages (one row per page — the decode contract) routes to
+    the Pallas page-window read-merge-write; bit-identical to the XLA
+    row scatter, with sibling-window bytes preserved and negative slots
+    skipped."""
+    import jax
+
+    rng = np.random.default_rng(21)
+    k1, k2, k3 = keys(17, 3)
+    b, h, bs, hs = 5, 2, 16, 128
+    nb = b + 2
+    key = rand(k1, (b, h, hs), jnp.bfloat16)
+    val = rand(k2, (b, h, hs), jnp.bfloat16)
+    # one slot per distinct page; one padding row
+    slots = np.asarray([0 * bs + 3, 1 * bs + 15, 2 * bs + 0, 3 * bs + 8,
+                        -1], np.int64)
+    kvc = rand(k3, (nb, h, bs, 2 * hs), jnp.bfloat16)
+    monkeypatch.setenv("VXK_CACHE_WINDOW_SCATTER", "1")
+    ref = ops.reshape_and_cache_tpu_fused(
+        key, val, kvc, jnp.asarray(slots), "auto")
+    got = jax.jit(functools.partial(
+        ops.reshape_and_cache_tpu_fused, kv_cache_dtype="auto",
+        unique_pages=True))(key, val, kvc, jnp.asarray(slots))
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(ref, np.float32))
 
 
 def test_reshape_and_cache_tpu_prefill_fused():

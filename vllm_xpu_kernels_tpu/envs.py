@@ -66,6 +66,13 @@ VXK_MXFP4_NATIVE = _register(
     "e2m1->bf16 cast is scalar-slow, like the e4m3 cast) vs ~200 GB/s "
     "for the bit-assembly — kept as an opt-in probe for future chips "
     "with native fp4 datapaths.")
+VXK_CACHE_WINDOW_SCATTER = _register(
+    "VXK_CACHE_WINDOW_SCATTER", _bool, False,
+    "Decode KV cache writes via the Pallas page-window read-merge-write "
+    "kernel instead of the XLA row scatter.  Default OFF: measured "
+    "SLOWER on v5e 8B decode (1714 -> 1586 tok/s — the per-sequence "
+    "wait/merge/write chain costs more than XLA's 25 us scatter); kept "
+    "as an opt-in probe for configs with pathological scatters.")
 VXK_E4M3_PAIRS = _register(
     "VXK_E4M3_PAIRS", _bool, False,
     "w8a16 fp8 GEMM: upcast e4m3 weights as bf16 halfword PAIRS in i32 "

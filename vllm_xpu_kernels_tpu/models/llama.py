@@ -521,7 +521,8 @@ def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
         kc_l = ops.reshape_and_cache_tpu_fused(
             k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l,
             slot_mapping, kv_cache_dtype=kv_dt,
-            k_scale=k_scale, v_scale=v_scale)
+            k_scale=k_scale, v_scale=v_scale,
+            unique_pages=(max_q == 1))
     else:
         kc_l, vc_l = ops.reshape_and_cache_tpu(
             k.reshape(t, hkv, d), v.reshape(t, hkv, d), kc_l, vc_l,

@@ -143,24 +143,43 @@ def reshape_and_cache_tpu_fused(
     kv_cache_dtype: str = "auto",
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
+    unique_pages: bool = False,
 ):
     """Scatter K|V tokens into the FUSED page layout
     ``[num_blocks, H, block_size, hs_k + hs_v]`` (K in ``[..., :hs_k]``).
     One page is one DMA in the decode kernel
     (kernels/flash_attention.py), and the token write is ONE row scatter
-    instead of the split layout's two.  Returns kv_cache."""
+    instead of the split layout's two.  Returns kv_cache.
+
+    ``unique_pages``: the caller asserts every live slot lands on a
+    DIFFERENT page (true for decode batches — one row per sequence);
+    eligible shapes then take a Pallas page-window read-merge-write
+    kernel instead of the XLA row scatter (row-granular scatters lower
+    to sequential dynamic-update-slices, ~25 us/layer at 8B decode)."""
     nb, h, bs, hs = kv_cache.shape
     hs_k = key.shape[-1]
+    kq = _maybe_quant(key, kv_cache_dtype, k_scale).astype(kv_cache.dtype)
+    vq = _maybe_quant(value, kv_cache_dtype, v_scale).astype(kv_cache.dtype)
+    assert hs_k + vq.shape[-1] == hs
+    kv = jnp.concatenate([kq, vq], axis=-1)                   # [T, H, hs]
+
+    from vllm_xpu_kernels_tpu.registry import use_pallas
+    from vllm_xpu_kernels_tpu.envs import VXK_CACHE_WINDOW_SCATTER
+
+    if (unique_pages and use_pallas() and VXK_CACHE_WINDOW_SCATTER()
+            and bs % 8 == 0 and hs % 128 == 0
+            and kv_cache.dtype == jnp.bfloat16):
+        from vllm_xpu_kernels_tpu.kernels.cache import (
+            scatter_fused_rows_pallas)
+
+        return scatter_fused_rows_pallas(kv_cache, kv, slot_mapping)
+
     idx = _slots(slot_mapping, nb * bs)
     block = idx // bs
     off = idx % bs
     rows = (block[:, None] * (h * bs) + jnp.arange(h)[None, :] * bs
             + off[:, None])                                   # [T, H]
     rows = jnp.where((idx < nb * bs)[:, None], rows, nb * h * bs)
-    kq = _maybe_quant(key, kv_cache_dtype, k_scale).astype(kv_cache.dtype)
-    vq = _maybe_quant(value, kv_cache_dtype, v_scale).astype(kv_cache.dtype)
-    assert hs_k + vq.shape[-1] == hs
-    kv = jnp.concatenate([kq, vq], axis=-1)                   # [T, H, hs]
     flat = kv_cache.reshape(nb * h * bs, hs)
     flat = flat.at[rows].set(kv, mode="drop", unique_indices=True)
     return flat.reshape(kv_cache.shape)
