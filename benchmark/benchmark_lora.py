@@ -52,8 +52,11 @@ def main():
     mapping = jnp.asarray(rng.integers(0, nl, t), jnp.int32)
     shrunk = jnp.asarray(rng.standard_normal((t, r)), jnp.float32)
     out = jnp.zeros((t, h), jnp.bfloat16)
-    # bytes: per-token gathered A row-block (r*h) dominates
-    a_bytes = t * r * h * 2
+    # honest traffic for the sort-free dense paths: activations stream
+    # once + adapter stacks + outputs (the old t*r*h figure was the
+    # GATHER tier's per-token weight copy — 100x the real movement)
+    shrink_bytes = t * h * 2 + nl * r * h * 2 + t * r * 4
+    expand_bytes = t * r * 4 + nl * r * h * 2 + t * h * (4 + 2 + 2)
 
     # feedback: fold a scalar of y into the carry (output ranks differ)
     fb = lambda y, x: (x * 0.999
@@ -61,7 +64,7 @@ def main():
     sec = bench_op(
         lambda z: ops.bgmv_shrink(z, lora_a, mapping, 0.5), fb, x)
     print(report_row(f"bgmv_shrink (T={t}, L={nl}, r={r})", sec,
-                     bytes_moved=a_bytes, peak_gbps=p["hbm_gbps"]))
+                     bytes_moved=shrink_bytes, peak_gbps=p["hbm_gbps"]))
 
     sec = bench_op(
         lambda z: ops.bgmv_expand(z.astype(jnp.float32), lora_b, out,
@@ -70,7 +73,7 @@ def main():
                       * 1e-3).astype(x.dtype),
         shrunk.astype(jnp.bfloat16))
     print(report_row(f"bgmv_expand (T={t}, L={nl}, r={r})", sec,
-                     bytes_moved=a_bytes, peak_gbps=p["hbm_gbps"]))
+                     bytes_moved=expand_bytes, peak_gbps=p["hbm_gbps"]))
 
     sec = bench_op(
         lambda z: ops.bgmv_expand_slice(
@@ -80,7 +83,8 @@ def main():
                       * 1e-3).astype(x.dtype),
         shrunk.astype(jnp.bfloat16))
     print(report_row(f"bgmv_expand_slice (T={t}, slice={h//2})", sec,
-                     bytes_moved=a_bytes // 2, peak_gbps=p["hbm_gbps"]))
+                     bytes_moved=expand_bytes // 2,
+                     peak_gbps=p["hbm_gbps"]))
 
     # single-LoRA dense comparator (reference's torch.mm roofline)
     a0 = lora_a[0]

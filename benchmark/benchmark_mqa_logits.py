@@ -68,7 +68,8 @@ def main():
                      bytes_moved=nbytes, peak_gbps=p["hbm_gbps"]))
 
     # ---- paged (decode indexer) ----
-    bs = 64
+    bs = 256   # serving-recommended indexer page (fatter pages amortize
+    # per-page DMA issue; see kernels/mqa_logits.py)
     nb = b * (-(-n // bs)) + 1
     packed = np.zeros((nb, bs, 1, d + 4), np.uint8)
     packed[..., :d] = rng.integers(0, 127, (nb, bs, 1, d))

@@ -66,6 +66,12 @@ VXK_MXFP4_NATIVE = _register(
     "e2m1->bf16 cast is scalar-slow, like the e4m3 cast) vs ~200 GB/s "
     "for the bit-assembly — kept as an opt-in probe for future chips "
     "with native fp4 datapaths.")
+VXK_MQA_IMPL = _register(
+    "VXK_MQA_IMPL", str, "dma",
+    "Paged MQA-logits kernel variant: 'dma' (grid over sequences, "
+    "kernel-managed page copies + fat staged dots + async output "
+    "chunks) or 'blockspec' (operand-pipelined pages — step-cost-bound "
+    "at the indexer's ~8 KB pages: 16-24 GB/s vs the dma design).")
 VXK_CACHE_WINDOW_SCATTER = _register(
     "VXK_CACHE_WINDOW_SCATTER", _bool, False,
     "Decode KV cache writes via the Pallas page-window read-merge-write "

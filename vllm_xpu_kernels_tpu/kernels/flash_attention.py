@@ -1071,7 +1071,7 @@ def _prefill_kernel(
 
 def chunk_prefill(
     q: jax.Array,                       # [total_q, Hq, D] packed varlen
-    k: jax.Array,                       # paged [nb, Hkv, bs, D] | packed [total_k, Hkv, D]
+    k: jax.Array,       # paged [nb, Hkv, bs, D] | packed [total_k, Hkv, D]
     v: jax.Array,
     cu_seqlens_q: jax.Array,
     cu_seqlens_k: Optional[jax.Array],

@@ -37,7 +37,7 @@ from vllm_xpu_kernels_tpu.models import llama as L
 @dataclasses.dataclass(frozen=True)
 class Qwen3NextConfig(L.LlamaConfig):
     # full-attention (gated) sublayers
-    full_attn_interval: int = 4          # layer i is full-attn iff (i+1) % interval == 0
+    full_attn_interval: int = 4   # full-attn iff (i+1) % interval == 0
     partial_rotary_factor: float = 0.25
     # GDN sublayers (per-rank head counts, like every reference head arg)
     linear_num_k_heads: int = 4

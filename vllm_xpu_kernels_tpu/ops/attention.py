@@ -138,7 +138,8 @@ def _attn_padded(
     v_descale: Optional[jax.Array],
 ):
     """Exact golden math on padded per-seq layout
-    (mirrors ref_paged_attn, tests/flash_attn/test_flash_attn_varlen_func.py:30-126).
+    (mirrors ref_paged_attn,
+    tests/flash_attn/test_flash_attn_varlen_func.py:30-126).
 
     Returns (out [B, Qp, Hq, Dv], lse [B, Hq, Qp]).
     """
@@ -225,7 +226,7 @@ def merge_attn_states(
 @register_op("flash_attn_varlen_func", "attention")
 def flash_attn_varlen_func(
     q: jax.Array,                     # [total_q, Hq, D]
-    k: jax.Array,                     # paged [nb, bs, Hkv, D] | packed [total_k, Hkv, D]
+    k: jax.Array,       # paged [nb, bs, Hkv, D] | packed [total_k, Hkv, D]
     v: jax.Array,                     # paged [nb, bs, Hkv, Dv] | packed
     max_seqlen_q: int,
     cu_seqlens_q: jax.Array,          # [B+1] int32

@@ -390,7 +390,8 @@ def gather_and_maybe_dequant_cache(
     (cache.cpp:754-856, schema csrc/torch_bindings.cpp:312-320)."""
     bs = src_cache.shape[1]
     seq_id = token_to_seq.astype(jnp.int32)[:num_tokens]
-    pos = jnp.arange(num_tokens, dtype=jnp.int32) - cu_seq_lens.astype(jnp.int32)[seq_id]
+    pos = (jnp.arange(num_tokens, dtype=jnp.int32)
+           - cu_seq_lens.astype(jnp.int32)[seq_id])
     if seq_starts is not None:
         pos = pos + seq_starts.astype(jnp.int32)[seq_id]
     blk = block_table.astype(jnp.int32)[seq_id, pos // bs]

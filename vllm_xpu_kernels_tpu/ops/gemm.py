@@ -31,7 +31,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from vllm_xpu_kernels_tpu.registry import (register_op, use_pallas, mosaic_safe, mosaic_safe_dtype)
+from vllm_xpu_kernels_tpu.registry import (
+    register_op, use_pallas, mosaic_safe, mosaic_safe_dtype)
 from vllm_xpu_kernels_tpu.kernels import quant_matmul as qmm
 from vllm_xpu_kernels_tpu.utils import quant_math as qm
 

@@ -27,7 +27,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from vllm_xpu_kernels_tpu.registry import (register_op, use_pallas, interpret_mode, mosaic_safe)
+from vllm_xpu_kernels_tpu.registry import (
+    register_op, use_pallas, interpret_mode, mosaic_safe)
 from vllm_xpu_kernels_tpu.utils import quant_math as qm
 
 

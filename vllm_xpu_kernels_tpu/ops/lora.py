@@ -40,6 +40,42 @@ def _gathered(weights, idx):
     return jnp.take(weights, safe, axis=0), (idx >= 0)
 
 
+def _shrink_all_adapters(x, lora_a, idx):
+    """Shrink without sort OR gather: ONE dense GEMM against every
+    adapter's A stacked ([H, L*R] — L*R is small), then a per-token
+    block select.  The activations stream once; adapter weights are a
+    rounding error.  -> [T, R] f32 (idx < 0 rows zero)."""
+    l_, r_, h = lora_a.shape
+    w2 = lora_a.reshape(l_ * r_, h).T                  # [H, L*R]
+    allout = jnp.dot(x.astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    allout = allout.reshape(-1, l_, r_)
+    sel = jnp.take_along_axis(
+        allout, jnp.clip(idx, 0, l_ - 1)[:, None, None], axis=1)[:, 0]
+    return jnp.where((idx >= 0)[:, None], sel, 0.0)
+
+
+def _expand_onehot(h, lora_b, idx):
+    """Expand without sort: place each token's rank vector in its
+    adapter's block of a [T, L*R] zero-padded input (one masked
+    broadcast), then ONE dense GEMM against the stacked B — the [T, H]
+    output is written once.  -> [T, H] f32 (idx < 0 rows zero)."""
+    l_, hdim, r_ = lora_b.shape
+    t = h.shape[0]
+    blocks = (idx[:, None] == jnp.arange(l_, dtype=jnp.int32)[None, :])
+    xb = (h.astype(jnp.float32)[:, None, :]
+          * blocks[:, :, None]).reshape(t, l_ * r_)
+    w2 = jnp.swapaxes(lora_b, 1, 2).reshape(l_ * r_, hdim)
+    return jnp.dot(xb.astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+# all-adapters dense paths win while the stacked rank dim stays small
+# (one activation pass beats sort+gather+scatter); larger adapter pools
+# fall back to the adapter-grouped matmul
+_DENSE_LR_MAX = 2048
+
+
 def _grouped_bgmv(x, w_ekn, idx):
     """Adapter-grouped matmul: x [T, K] x w [L, K, N] selected per token
     by ``idx`` ([T], -1 = none -> zero row).  Tokens stable-sort by
@@ -72,8 +108,12 @@ def bgmv_shrink(
     """-> [T, R] f32 (reference writes into a f32 out buffer;
     csrc/xpu/lora/lora_shrink.cpp:39-442)."""
     idx = token_lora_mapping.astype(jnp.int32)
+    l_, r_, _h = lora_a.shape
     if use_pallas():
-        out = _grouped_bgmv(inputs, jnp.swapaxes(lora_a, 1, 2), idx)
+        if l_ * r_ <= _DENSE_LR_MAX:
+            out = _shrink_all_adapters(inputs, lora_a, idx)
+        else:
+            out = _grouped_bgmv(inputs, jnp.swapaxes(lora_a, 1, 2), idx)
         return (out * scaling).astype(jnp.float32)
     w, valid = _gathered(lora_a, idx)
     out = jnp.einsum(
@@ -91,8 +131,12 @@ def bgmv_expand(
     add_inputs: bool = True,
 ) -> jax.Array:
     idx = token_lora_mapping.astype(jnp.int32)
+    l_, _h, r_ = lora_b.shape
     if use_pallas():
-        delta = _grouped_bgmv(inputs, jnp.swapaxes(lora_b, 1, 2), idx)
+        if l_ * r_ <= _DENSE_LR_MAX:
+            delta = _expand_onehot(inputs, lora_b, idx)
+        else:
+            delta = _grouped_bgmv(inputs, jnp.swapaxes(lora_b, 1, 2), idx)
     else:
         w, valid = _gathered(lora_b, idx)
         delta = jnp.einsum(
@@ -115,8 +159,12 @@ def bgmv_expand_slice(
 ) -> jax.Array:
     """Expand into a column slice of a packed output (e.g. fused qkv)."""
     idx = token_lora_mapping.astype(jnp.int32)
+    l_, _h, r_ = lora_b.shape
     if use_pallas():
-        delta = _grouped_bgmv(inputs, jnp.swapaxes(lora_b, 1, 2), idx)
+        if l_ * r_ <= _DENSE_LR_MAX:
+            delta = _expand_onehot(inputs, lora_b, idx)
+        else:
+            delta = _grouped_bgmv(inputs, jnp.swapaxes(lora_b, 1, 2), idx)
     else:
         w, valid = _gathered(lora_b, idx)
         delta = jnp.einsum(

@@ -96,10 +96,14 @@ def fp8_paged_mqa_logits(
         bs = kv_cache.shape[1]
         vals, scales = unpack_indexer_kv_cache(kv_cache)
     if use_pallas():
-        from vllm_xpu_kernels_tpu.kernels.mqa_logits import (
-            paged_mqa_logits_pallas)
+        from vllm_xpu_kernels_tpu import envs
+        from vllm_xpu_kernels_tpu.kernels import mqa_logits as mk
 
-        return paged_mqa_logits_pallas(
+        if envs.VXK_MQA_IMPL() == "dma":
+            return mk.paged_mqa_logits_dma(
+                q, vals, scales, weights, context_lens, block_tables,
+                max_model_len)
+        return mk.paged_mqa_logits_pallas(
             q, vals, scales, weights, context_lens, block_tables,
             max_model_len)
     max_blocks = min(block_tables.shape[1], -(-max_model_len // bs))

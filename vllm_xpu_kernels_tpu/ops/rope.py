@@ -56,7 +56,8 @@ def _apply_rope(x_rot, cos, sin, is_neox):
     """x_rot [..., H, rot], cos/sin [..., rot] (broadcast over heads)."""
     rot = _rotate_half_neox(x_rot) if is_neox else _rotate_gptj(x_rot)
     xf = x_rot.astype(jnp.float32)
-    return (xf * cos[..., None, :] + rot.astype(jnp.float32) * sin[..., None, :]).astype(
+    return (xf * cos[..., None, :]
+            + rot.astype(jnp.float32) * sin[..., None, :]).astype(
         x_rot.dtype
     )
 
@@ -124,7 +125,8 @@ def fused_qk_norm_rope(
     def headnorm(y, w):
         yf = y.astype(jnp.float32)
         var = jnp.mean(yf * yf, axis=-1, keepdims=True)
-        return (yf * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)).astype(y.dtype)
+        return (yf * jax.lax.rsqrt(var + eps)
+                * w.astype(jnp.float32)).astype(y.dtype)
 
     q = headnorm(q, q_weight)
     k = headnorm(k, k_weight)

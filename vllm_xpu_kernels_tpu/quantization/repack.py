@@ -17,7 +17,8 @@ for group ``G`` (rows ``[G*g, (G+1)*g)``), packed row ``r`` holds
 ``w4[G*g + r]`` in its low nibble and ``w4[G*g + r + g/2]`` in its high
 nibble.  The Pallas kernel steps the K grid one group at a time, so a
 packed [g/2, N] tile unpacks to the group's [g, N] with one sublane concat
-and every byte is read exactly once.  Zero-points are expanded to dense [K/g, N] int8 code arrays
+and every byte is read exactly once.  Zero-points are expanded to dense
+[K/g, N] int8 code arrays
 (the kernel subtracts then scales).
 
 All functions are numpy (weight conversion is a one-off host-side step, like
