@@ -11,7 +11,7 @@ import pytest
 from vllm_xpu_kernels_tpu import ops
 
 from tests.conftest import scoped
-from tests.utils import assert_allclose, keys, rand
+from tests.utils import assert_allclose
 
 
 def np_ref_attn(q, kv_lens_k, q_lens, key, value, scale,

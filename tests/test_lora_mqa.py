@@ -1,7 +1,6 @@
 """LoRA bgmv + DeepSeek MQA-logits tests (mirrors reference
 tests/test_lora_ops.py and tests/mqa_logits/test_mqa_logits.py goldens)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -3,7 +3,6 @@ equal (a) the base model for idx=-1 tokens and (b) the adapter-merged
 dense model for tokens on a slot — in ONE mixed batch."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -2,7 +2,6 @@
 test_grouped_topk.py, test_moe_align_block_size.py, test_moe_gather.py,
 test_moe_sum.py, tests/fused_moe/ goldens)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -21,7 +21,6 @@ per-rank head-count args, flash_api.cpp:349-360).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax

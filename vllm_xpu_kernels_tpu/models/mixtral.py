@@ -16,7 +16,6 @@ import jax.numpy as jnp
 
 from vllm_xpu_kernels_tpu import ops
 from vllm_xpu_kernels_tpu.models import llama as L
-from vllm_xpu_kernels_tpu.parallel.mesh import tp_psum
 
 
 @dataclasses.dataclass(frozen=True)

@@ -29,7 +29,6 @@ TPU-first design:
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

@@ -27,8 +27,6 @@ per-(expert, adapter) sub-buckets
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
