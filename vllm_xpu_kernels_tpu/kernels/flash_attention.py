@@ -260,7 +260,6 @@ def _decode_kernel_dma(
         kvbuf = next(it)
     else:
         kbuf, vbuf = next(it), next(it)
-    sbuf = next(it)
     m_ref, l_ref, acc_ref = next(it), next(it), next(it)
     wbuf = next(it) if wb else None
     if fused:
@@ -355,12 +354,6 @@ def _decode_kernel_dma(
             return fp8_upcast_f32(vraw).astype(jnp.bfloat16)
         return vraw.astype(jnp.bfloat16)
 
-    def stage_page(i, slot, col):
-        """Wait page i, QK dot, stage the f32 logits into sbuf column
-        block ``col`` (slot/col are python ints — static indexing)."""
-        wait_kv(i, slot)
-        sbuf[:, :, col * bs:(col + 1) * bs] = qk_dot(slot)
-
     def fold(s, i0, width, pv, masked=True):
         """Online-softmax fold of logits ``s`` ([hkv, g, width], first
         column at kv position i0*bs) followed by ``pv(p)`` accumulator
@@ -409,9 +402,9 @@ def _decode_kernel_dma(
         def _():
             issue(b, i + depth, slot)
 
-    def update(i0, ps):
-        """One online-softmax fold over the staged logits of pages
-        i0..i0+stage-1 (buffer slots ps..).  Columns of pages past
+    def update(i0, ps, s):
+        """One online-softmax fold over the register-resident logits of
+        pages i0..i0+stage-1 (buffer slots ps..).  Columns of pages past
         n_pages are killed by the kv_len mask (kpos >= kv_len always
         holds there), and their PV dot is skipped."""
         def pv(p):
@@ -426,7 +419,7 @@ def _decode_kernel_dma(
                 else:
                     pl.when(i0 + c < n_pages)(lambda c=c: pv_dot(c))
 
-        fold(sbuf[...], i0, stage * bs, pv)
+        fold(s, i0, stage * bs, pv)
 
     # rounds of `depth` statically-unrolled slots, consumed `stage` at a
     # time; each consumed group immediately re-issues its slots, keeping
@@ -443,19 +436,26 @@ def _decode_kernel_dma(
             return carry
         for ps in range(0, depth, stage):
             i0 = base + ps
-            for c in range(stage):
-                @pl.when(i0 + c < n_pages)
-                def _(c=c):
-                    stage_page(i0 + c, ps + c, c)
 
             @pl.when(i0 < n_pages)
-            def _():
-                update(i0, ps)
-
-            for c in range(stage):
-                @pl.when(i0 + c + depth < n_pages)
-                def _(c=c):
-                    issue(b, i0 + c + depth, ps + c)
+            def _(ps=ps, i0=i0):
+                # wait + QK the pair in REGISTERS (a VMEM staging buffer
+                # round trip measured slower) and fold once; stale
+                # second-page columns are masked by kpos >= kv_len
+                wait_kv(i0, ps)
+                parts = [qk_dot(ps)]
+                for c in range(1, stage):
+                    @pl.when(i0 + c < n_pages)
+                    def _(c=c):
+                        wait_kv(i0 + c, ps + c)
+                    parts.append(qk_dot(ps + c))
+                s = (jnp.concatenate(parts, axis=-1) if stage > 1
+                     else parts[0])
+                update(i0, ps, s)
+                for c in range(stage):
+                    @pl.when(i0 + c + depth < n_pages)
+                    def _(c=c):
+                        issue(b, i0 + c + depth, ps + c)
         return carry
 
     jax.lax.fori_loop(0, n_rounds, round_body, 0, unroll=False)
@@ -634,7 +634,6 @@ def _paged_decode_dma(
         # (kv_lens, tbl, fslots, sink, desc, q4, fresh, cache)
         aliases = {7: len(out_specs) - 1}
     scratch = bufs + [
-        pltpu.VMEM((hkv, g, stage * bs), jnp.float32),    # staged logits
         pltpu.VMEM((hkv, g, 1), jnp.float32),
         pltpu.VMEM((hkv, g, 1), jnp.float32),
         pltpu.VMEM((hkv, g, dv), jnp.float32),

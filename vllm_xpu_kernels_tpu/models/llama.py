@@ -707,7 +707,10 @@ def prefill_step(
     ``decode_tail`` (static): the batch's last N sequences are 1-token
     decode rows of a MIXED batch — their attention routes to the paged
     decode kernel instead of paying a padded prefill q tile
-    (reference flash_api.cpp:236-322 mix_batch split)."""
+    (reference flash_api.cpp:236-322 mix_batch split).  Measured 4.4x
+    on a 1024-token chunk + 31 decode riders (16-layer 8B shapes,
+    1xv5e: 330 -> 75 ms/step — the varlen prefill kernel pads every
+    rider to max_seqlen_q q rows)."""
     return _forward_tokens(
         cfg, params, token_ids, positions, slot_mapping, block_table,
         kv_lens, cu_seqlens_q, max_seqlen_q, max_seqlen_k,
