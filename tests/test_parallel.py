@@ -350,6 +350,99 @@ def test_ep_a2a_capacity_drop():
     np.testing.assert_array_equal(capped[~kept], 0.0)
 
 
+def test_gpipe_llama_stages():
+    """REAL-MODEL pipeline parallelism: Llama decoder layers (RMSNorm +
+    RoPE + flash attention + gated MLP, real init_params weights) as
+    GPipe stages over the pp mesh axis; microbatches are whole packed
+    sequences with non-paged causal attention.  Golden: the model's own
+    prefill_step on a fresh paged cache."""
+    from vllm_xpu_kernels_tpu.models import (
+        LlamaConfig, init_params, init_kv_cache)
+    from vllm_xpu_kernels_tpu.models.llama import (
+        prefill_step, _rope_cache)
+    from vllm_xpu_kernels_tpu import ops
+    from vllm_xpu_kernels_tpu.parallel import (
+        AXIS_PP, gpipe_apply, stack_stage_params)
+
+    n_stages = 4
+    devs = np.array(jax.devices()[:n_stages])
+    mesh = Mesh(devs, (AXIS_PP,))
+    cfg = LlamaConfig(
+        hidden_size=128, num_layers=8, num_q_heads=4, num_kv_heads=2,
+        head_dim=32, intermediate_size=256, vocab_size=512,
+        max_position=256, quant="none", block_size=16, kv_fused=False)
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    seq, m_batches = 24, 4
+    rng = np.random.default_rng(11)
+    toks = rng.integers(0, cfg.vocab_size, (m_batches, seq))
+    rope = _rope_cache(cfg)
+    pos = jnp.arange(seq, dtype=jnp.int32)
+    cu1 = jnp.asarray([0, seq], jnp.int32)
+
+    def layer_fwd(lp, x):
+        """One llama decoder layer on a single packed sequence (pre-norm
+        residual form matching models/llama._forward_tokens, non-paged
+        attention)."""
+        hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+        h = ops.rms_norm(x, lp["ln1"], cfg.rms_eps)
+        qkv = jnp.dot(h, lp["wqkv"]["w"],
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+        q = qkv[:, : hq * d]
+        k = qkv[:, hq * d: (hq + hkv) * d]
+        v = qkv[:, (hq + hkv) * d:]
+        q, k = ops.rotary_embedding(pos, q, k, d, rope, is_neox=True)
+        attn = ops.flash_attn_varlen_func(
+            q.reshape(seq, hq, d), k.reshape(seq, hkv, d),
+            v.reshape(seq, hkv, d), seq, cu1, seq, cu_seqlens_k=cu1,
+            causal=True)
+        x = x + jnp.dot(attn.reshape(seq, hq * d), lp["wo"]["w"],
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        h2 = ops.rms_norm(x, lp["ln2"], cfg.rms_eps)
+        gu = jnp.dot(h2, lp["wgu"]["w"],
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+        act = ops.silu_and_mul(gu)
+        return x + jnp.dot(act, lp["wd"]["w"],
+                           preferred_element_type=jnp.float32
+                           ).astype(x.dtype)
+
+    def stage_fn(stage_params, x):
+        for i in range(cfg.num_layers // n_stages):
+            lp = jax.tree.map(lambda a: a[i], stage_params)
+            x = layer_fwd(lp, x)
+        return x
+
+    stacked = stack_stage_params(params["layers"], n_stages)
+    xs = jnp.take(params["embed"], jnp.asarray(toks), axis=0)
+
+    f = shard_map(
+        lambda sp, x: gpipe_apply(
+            stage_fn, jax.tree.map(lambda a: a[0], sp), x, AXIS_PP),
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(AXIS_PP), stacked), P()),
+        out_specs=P(), check_rep=False)
+    hidden = jax.jit(f)(stacked, xs)                     # [M, seq, E]
+    hidden = ops.rms_norm(hidden.reshape(-1, cfg.hidden_size),
+                          params["final_ln"], cfg.rms_eps)
+    logits_pp = jnp.dot(hidden, params["embed"].T,
+                        preferred_element_type=jnp.float32
+                        ).reshape(m_batches, seq, -1)
+
+    # golden: the model's own prefill on fresh paged caches, per batch
+    for bi in range(m_batches):
+        kc, vc = init_kv_cache(cfg, num_blocks=seq // cfg.block_size + 2)
+        tbl = jnp.arange(1, seq // cfg.block_size + 2, dtype=jnp.int32
+                         )[None, :]
+        slots = (jnp.arange(seq, dtype=jnp.int32) // cfg.block_size + 1
+                 ) * cfg.block_size + jnp.arange(seq) % cfg.block_size
+        lg, _, _ = prefill_step(
+            cfg, params, jnp.asarray(toks[bi]), pos, cu1, slots, tbl,
+            jnp.asarray([seq], jnp.int32), kc, vc,
+            max_seqlen_q=seq, max_seqlen_k=2 * cfg.block_size)
+        assert_allclose(np.asarray(logits_pp[bi], np.float32),
+                        np.asarray(lg, np.float32), rtol=3e-2, atol=3e-2)
+
+
+
 @pytest.mark.parametrize("n_stages,m", [(2, 4), (4, 4), (4, 1)])
 def test_gpipe_pipeline_matches_sequential(n_stages, m):
     """Stage-sharded GPipe pipeline == sequential layer stack."""
