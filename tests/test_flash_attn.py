@@ -221,6 +221,44 @@ def test_decode_mla(impl):
     assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.parametrize("kind", ["plain", "sink", "softcap", "fp8kv"])
+@pytest.mark.parametrize("splits", [2, 4, 16])
+def test_decode_split_kv(kind, splits, impl):
+    """Honored num_splits_kv: S page-range splits LSE-merge to the
+    unsplit result — output AND lse (reference ReduceSplitK,
+    csrc/xpu/attn paged_decode split reduction +
+    docs/group_split_kv_design.md).  splits=16 > pages exercises empty
+    splits (skewed-batch case: the 37-token sequence fills 3 pages)."""
+    seq_lens = [(1, 200), (1, 37), (1, 130)]
+    hq, hkv, d = 8, 2, 128
+    kv_dtype = jnp.float8_e4m3fn if kind == "fp8kv" else None
+    qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \
+        make_paged(seq_lens, (hq, hkv), d, d, 16, 64, jnp.bfloat16, seed=7,
+                   kv_dtype=kv_dtype)
+    scale = d ** -0.5
+    kwargs = {}
+    if kind == "sink":
+        kwargs["s_aux"] = jnp.asarray(
+            np.linspace(-1.0, 1.0, hq).astype(np.float32))
+    elif kind == "softcap":
+        kwargs["softcap"] = 30.0
+    elif kind == "fp8kv":
+        kwargs["k_descale"] = jnp.float32(1.7)
+        kwargs["v_descale"] = jnp.float32(0.6)
+
+    def run(ns):
+        return ops.flash_attn_varlen_func(
+            qj, kj, vj, 1, cu_q, max(kv_lens),
+            seqused_k=used_k, block_table=tbl, causal=True,
+            softmax_scale=scale, num_splits_kv=ns,
+            return_softmax_lse=True, **kwargs)
+
+    ref_out, ref_lse = run(0)
+    out, lse = run(splits)
+    assert_allclose(out, ref_out, rtol=2e-2, atol=2e-2)
+    assert_allclose(lse, ref_lse, rtol=1e-3, atol=1e-3)
+
+
 def test_merge_attn_states(impl):
     """Splitting KV in half and LSE-merging equals full attention
     (reference: csrc/attention/merge_attn_states.cpp contract)."""

@@ -103,10 +103,13 @@ def test_fp8_mqa_logits(impl):
     assert_allclose(out_np[fin], golden[fin], rtol=2e-2, atol=2e-2 * denom)
 
 
+@pytest.mark.parametrize("d,bs,max_model_len", [
+    (64, 16, 128),    # unaligned head dim -> BlockSpec-pipelined variant
+    (128, 64, 256),   # real V3.2 indexer head dim -> dma kernel
+])
 @pytest.mark.parametrize("next_n", [1, 2])
-def test_fp8_paged_mqa_logits(next_n, impl):
-    b, h, d, bs, nb = 3, 8, 64, 16, 32
-    max_model_len = 128
+def test_fp8_paged_mqa_logits(next_n, d, bs, max_model_len, impl):
+    b, h, nb = 3, 8, 32
     rng = np.random.default_rng(4)
     ctx = np.asarray([37, 80, 17], np.int32)
     q = jnp.asarray(rng.standard_normal((b, next_n, h, d)), jnp.bfloat16)

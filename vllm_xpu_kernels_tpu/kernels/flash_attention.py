@@ -12,12 +12,16 @@ Key design translations:
   ``index_map`` reading a scalar-prefetched table, so the Pallas pipeline
   double-buffers page DMAs automatically (one KV tile == one cache page).
 - **Split-KV**: the reference oversubscribes Xe cores with per-seq splits
-  planned on host (docs/group_split_kv_design.md).  A TPU core executes the
-  grid *sequentially* with pipelined DMAs, so splits buy nothing — the
-  decode kernel uses a dense (seq, kv_head, kv_tile) grid with masked tail
-  tiles instead, and ``num_splits_kv`` is accepted for API parity but
-  ignored.  (On multi-core megachips XLA still parallelizes over the
-  "parallel" grid dims.)
+  planned on host (docs/group_split_kv_design.md).  A single v5e TPU core
+  executes the grid *sequentially* with pipelined DMAs, so splits buy
+  nothing there and ``num_splits_kv<=1`` (the default) keeps the dense
+  per-sequence grid.  ``num_splits_kv=S>1`` IS honored (the reference's
+  ReduceSplitK role): each sequence's page range splits into S contiguous
+  chunks run as a virtual batch of B*S sequences, merged exactly with the
+  merge_attn_states LSE math — useful on megacore parts (v4/v5p/v6e,
+  where XLA parallelizes the widened grid over cores) and for skewed
+  batches where one long sequence serializes the step.  Empty splits cost
+  one masked grid step (out=0, lse=-inf — a no-op in the merge).
 - **Kernel-variant matrix**: the reference precompiles 216+384 static
   configs (.conf codegen); here every (head_size, page_size, flags) combo is
   jit-specialized at trace time.
@@ -674,6 +678,66 @@ def _paged_decode_dma(
     return out, lse, o_scale, new_cache
 
 
+def _paged_decode_split(
+    q, k_cache, v_cache, seqused_k, block_table, *,
+    num_splits, scale, softcap, sink, k_descale, v_descale,
+    max_seqlen_k, pages_per_step, fresh_kv, fresh_slots, out_quant,
+):
+    """Split-KV decode: S contiguous page-range splits per sequence run
+    as a virtual batch of B*S sequences through the unsplit kernel; the
+    partials merge with the merge_attn_states LSE math (reference
+    ReduceSplitK, csrc/xpu/attn paged_decode split reduction).  The sink
+    column folds once, post-merge; a fresh row is scattered into the
+    cache first (the reference ordering) so every split sees a coherent
+    cache.  Exact: matches the unsplit kernel to accumulation order."""
+    b_, hq, d = q.shape
+    bs = k_cache.shape[2]
+    dv = (k_cache.shape[-1] - d) if v_cache is None else v_cache.shape[-1]
+    mb = block_table.shape[1]
+    s_ = max(2, min(int(num_splits), mb))
+    p_ = _cdiv(mb, s_)
+    new_cache = None
+    if fresh_kv is not None:
+        from vllm_xpu_kernels_tpu.ops.cache import scatter_fused_rows
+
+        k_cache = new_cache = scatter_fused_rows(
+            k_cache, fresh_kv, fresh_slots)
+    tbl = block_table.astype(jnp.int32)
+    if p_ * s_ > mb:
+        tbl = jnp.pad(tbl, ((0, 0), (0, p_ * s_ - mb)))
+    tbl_s = tbl.reshape(b_ * s_, p_)
+    offs = (jnp.arange(s_, dtype=jnp.int32) * (p_ * bs))[None, :]
+    used_s = jnp.clip(seqused_k.astype(jnp.int32)[:, None] - offs,
+                      0, p_ * bs).reshape(b_ * s_)
+    q_s = jnp.repeat(q, s_, axis=0)
+    out_s, lse_s = paged_decode(
+        q_s, k_cache, v_cache, None, used_s, tbl_s, scale=scale,
+        window=(-1, -1), softcap=softcap, sink=None,
+        k_descale=k_descale, v_descale=v_descale,
+        max_seqlen_k=min(max_seqlen_k, p_ * bs),
+        pages_per_step=pages_per_step)
+    # merge the S partials per sequence (lse is [Hq, B*S], natural-log
+    # domain in every exp mode; empty splits carry lse ~ -1e30, out = 0)
+    lse_b = lse_s.reshape(hq, b_, s_)
+    m = jnp.max(lse_b, axis=2)                            # [Hq, B]
+    w = jnp.exp(lse_b - m[:, :, None])                    # [Hq, B, S]
+    outf = out_s.astype(jnp.float32).reshape(b_, s_, hq, dv)
+    num = jnp.einsum("hbs,bshd->bhd", w, outf)
+    den = jnp.sum(w, axis=2)                              # [Hq, B]
+    if sink is not None:
+        den = den + jnp.exp(
+            sink.astype(jnp.float32).reshape(hq)[:, None] - m)
+    den = jnp.maximum(den, 1e-30)
+    out = (num / den.T[:, :, None]).astype(q.dtype)
+    lse = m + jnp.log(den)
+    res = [out, lse]
+    if out_quant:
+        res.append(None)     # caller quantizes (normalized upstream)
+    if fresh_kv is not None:
+        res.append(new_cache)
+    return tuple(res)
+
+
 def paged_decode(
     q: jax.Array,                 # [B, Hq, D]
     k_cache: jax.Array,           # [nb, Hkv, bs, D]  (TPU-native layout)
@@ -719,12 +783,25 @@ def paged_decode(
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    del num_splits_kv
     fused = v_cache is None
     b_, hq, d = q.shape
     nb, hkv, bs, _ = k_cache.shape
     dv = (k_cache.shape[-1] - d) if fused else v_cache.shape[-1]
     g = hq // hkv
+    if (num_splits_kv and num_splits_kv > 1 and window[0] < 0
+            and block_table.shape[1] > 1):
+        # Honored split-KV (reference ReduceSplitK,
+        # paged_decode_kernel.hpp:67 + docs/group_split_kv_design.md):
+        # run each sequence's page range as S virtual sequences and
+        # merge the (O, LSE) partials exactly.  Window masking needs the
+        # sequence-global frontier, so windowed calls stay unsplit.
+        return _paged_decode_split(
+            q, k_cache, v_cache, seqused_k, block_table,
+            num_splits=int(num_splits_kv), scale=scale, softcap=softcap,
+            sink=sink, k_descale=k_descale, v_descale=v_descale,
+            max_seqlen_k=max_seqlen_k, pages_per_step=pages_per_step,
+            fresh_kv=fresh_kv, fresh_slots=fresh_slots,
+            out_quant=out_quant)
     if fused:
         assert d % 128 == 0 and dv % 128 == 0, (
             "fused KV layout needs lane-aligned head sizes")

@@ -22,6 +22,10 @@ from vllm_xpu_kernels_tpu.models import precompile  # noqa: F401
 from vllm_xpu_kernels_tpu.models import spec_decode  # noqa: F401
 from vllm_xpu_kernels_tpu.models import lora  # noqa: F401
 from vllm_xpu_kernels_tpu.models import scheduler  # noqa: F401
+from vllm_xpu_kernels_tpu.models.configs import (  # noqa: F401
+    get_model_config,
+    list_models,
+)
 from vllm_xpu_kernels_tpu.models.scheduler import (  # noqa: F401
     Request,
     Scheduler,

@@ -99,7 +99,13 @@ def fp8_paged_mqa_logits(
         from vllm_xpu_kernels_tpu import envs
         from vllm_xpu_kernels_tpu.kernels import mqa_logits as mk
 
-        if envs.VXK_MQA_IMPL() == "dma":
+        # the dma kernel's manual HBM page slices need a lane-aligned
+        # minor dim (Mosaic memref_slice: last dim % 128; the real V3.2
+        # indexer head dim is 128) and 8-row sublane tiles — unaligned
+        # shapes take the BlockSpec-pipelined variant, which accepts
+        # arbitrary blocks
+        if (envs.VXK_MQA_IMPL() == "dma" and d % 128 == 0
+                and bs % 8 == 0):
             return mk.paged_mqa_logits_dma(
                 q, vals, scales, weights, context_lens, block_tables,
                 max_model_len)
