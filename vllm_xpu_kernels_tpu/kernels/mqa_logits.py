@@ -257,7 +257,11 @@ def paged_mqa_logits_dma(
     nb, bs, _ = kv_vals.shape
     max_blocks = min(block_tables.shape[1], _cdiv(max_model_len, bs))
     R = max(1, min(round_pages, max_blocks))
-    while (R * bs) % 128:
+    # the flat f32 scale chunks are 1-D HBM slices — Mosaic's 1-D f32
+    # tile is (1024,), so both the chunk length R*bs and every chunk
+    # offset (multiples of it) must be 1024-aligned (a real-chip
+    # memref_slice rule; interpret mode does not check it)
+    while (R * bs) % 1024:
         R += 1
     del depth                    # fixed at two ping-pong halves (2R)
     n_rounds = 2 * _cdiv(_cdiv(max_blocks, R), 2)   # even (half pairs)
