@@ -137,6 +137,61 @@ def test_gdn_attention(seq_lens, has_init, impl):
     assert_allclose(got_cs, untouched_cs, rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("pad_to", [12, 24])
+def test_gdn_attention_padded_tail(pad_to, impl):
+    """Padded leading dim: rows past query_start_loc[-1] are dead
+    padding (jit bucketing pads token buffers to a captured size — the
+    reference regression tests/gdn_attn/test_gdn_attn_padded.py for
+    vllm-xpu-kernels#320, where num_actual_tokens < size(0) aborted).
+    The active prefix must equal the unpadded call, the tail must stay
+    finite, and untouched state slots must be preserved."""
+    nk, nv, hk, hv, w = 2, 4, 16, 32, 4
+    rep = nv // nk
+    c = nk * (2 * hk + rep * hv)
+    seq_lens, has_init = [5, 1, 3], [False, True, True]
+    t_act = sum(seq_lens)
+    n_state = 8
+    rng = np.random.default_rng(11)
+    qkvz = np.zeros((pad_to, nk * (2 * hk + 2 * rep * hv)), np.float32)
+    qkvz[:t_act] = rng.standard_normal(qkvz[:t_act].shape) * 0.5
+    ba = np.zeros((pad_to, nk * 2 * rep), np.float32)
+    ba[:t_act] = rng.standard_normal(ba[:t_act].shape)
+    conv_state = rng.standard_normal((n_state, w - 1, c)).astype(np.float32)
+    ssm_state = rng.standard_normal((n_state, nv, hv, hk)).astype(
+        np.float32) * 0.3
+    conv_w = rng.standard_normal((c, w)).astype(np.float32) * 0.3
+    conv_b = rng.standard_normal(c).astype(np.float32) * 0.1
+    A_log = rng.standard_normal(nv).astype(np.float32) * 0.3
+    dt_bias = rng.standard_normal(nv).astype(np.float32) * 0.3
+    qsl = np.concatenate([[0], np.cumsum(seq_lens)]).astype(np.int32)
+    state_idx = np.arange(len(seq_lens), dtype=np.int32) + 1
+    has_init_np = np.asarray(has_init)
+
+    def run(rows):
+        return ops.gdn_attention(
+            jnp.asarray(qkvz[:rows], jnp.bfloat16),
+            jnp.asarray(ba[:rows], jnp.bfloat16),
+            jnp.asarray(conv_state), jnp.asarray(ssm_state),
+            jnp.asarray(conv_w), jnp.asarray(conv_b),
+            jnp.asarray(A_log), jnp.asarray(dt_bias),
+            jnp.asarray(qsl), jnp.asarray(state_idx),
+            jnp.asarray(has_init_np),
+            num_k_heads=nk, num_v_heads=nv, head_k_dim=hk, head_v_dim=hv,
+            max_seqlen=max(seq_lens))
+
+    out_u, z_u, cs_u, ss_u = run(t_act)
+    out_p, z_p, cs_p, ss_p = run(pad_to)
+    assert out_p.shape[0] == pad_to
+    assert_allclose(out_p[:t_act], out_u, rtol=1e-5, atol=1e-5)
+    assert_allclose(z_p[:t_act], z_u, rtol=1e-5, atol=1e-5)
+    assert np.isfinite(np.asarray(out_p, np.float32)).all()
+    assert_allclose(np.asarray(cs_p), np.asarray(cs_u), rtol=0, atol=0)
+    assert_allclose(np.asarray(ss_p), np.asarray(ss_u), rtol=1e-5,
+                    atol=1e-5)
+    # slot 0 was never referenced by state_idx — bit-preserved
+    assert_allclose(np.asarray(ss_p)[0], ssm_state[0], rtol=0, atol=0)
+
+
 @pytest.mark.parametrize("nk,nv,hk,hv", [
     (4, 4, 32, 32),    # rep == 1 (no KV-head broadcast)
     (1, 4, 16, 16),    # single K head, wide broadcast
