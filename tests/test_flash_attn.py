@@ -332,13 +332,15 @@ def _fuse_pages(kj, vj):
 
 @pytest.mark.parametrize("decode_impl", ["dma", "pipelined"])
 @pytest.mark.parametrize("kv_dtype", [None, jnp.float8_e4m3fn])
-def test_decode_fused_kv(decode_impl, kv_dtype, impl, monkeypatch):
+@pytest.mark.parametrize("d", [128, 64])
+def test_decode_fused_kv(decode_impl, kv_dtype, d, impl, monkeypatch):
     """Fused [nb, Hkv, bs, Dk+Dv] page layout matches the golden under
     both decode kernels (one async DMA per page in the dma kernel;
-    two last-dim blocks of one operand in the pipelined kernel)."""
+    two last-dim blocks of one operand in the pipelined kernel).
+    d=64 exercises the half-lane padded-q path (GPT-OSS / Llama-3.2
+    head size: the [.., 128] page serves as both K and V)."""
     monkeypatch.setenv("VXK_DECODE_IMPL", decode_impl)
     seq_lens = [(1, 1025), (1, 523), (1, 37)]
-    d = 128
     qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \
         make_paged(seq_lens, (8, 2), d, d, 16, 256, jnp.bfloat16, seed=11,
                    kv_dtype=kv_dtype)
@@ -490,10 +492,11 @@ def test_decode_out_quant(fresh, impl, monkeypatch):
     np.testing.assert_allclose(deq, ref_f, rtol=0.0, atol=atol)
 
 
-def test_prefill_fused_kv(impl):
-    """Mixed varlen prefill against the fused page layout."""
+@pytest.mark.parametrize("d", [128, 64])
+def test_prefill_fused_kv(d, impl):
+    """Mixed varlen prefill against the fused page layout (d=64: the
+    half-lane padded-q path)."""
     seq_lens = [(1, 1328), (5, 18), (129, 463)]
-    d = 128
     qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \
         make_paged(seq_lens, (8, 2), d, d, 16, 512, jnp.bfloat16, seed=12)
     scale = d ** -0.5

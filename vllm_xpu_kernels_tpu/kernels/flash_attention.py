@@ -102,8 +102,9 @@ def _decode_kernel(
     P = spec["pages_per_step"]
     q_ref = refs[0]
     k_refs = refs[1:1 + P]
-    v_refs = refs[1 + P:1 + 2 * P]
-    o_ref, lse_ref, m_ref, l_ref, acc_ref = refs[1 + 2 * P:]
+    nv = 0 if spec["qpad"] else P       # qpad: V rides in the K pages
+    v_refs = refs[1 + P:1 + P + nv]
+    o_ref, lse_ref, m_ref, l_ref, acc_ref = refs[1 + P + nv:]
 
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -139,7 +140,10 @@ def _decode_kernel(
         q = q_ref[0].astype(jnp.float32) * qk_scale
         for pi in range(P):
             k = fp8_upcast_f32(k_refs[pi][0])
-            v = fp8_upcast_f32(v_refs[pi][0])
+            # qpad (half-lane fused pages): the whole page serves as K
+            # and V — q is zero-padded over the V half so QK contracts
+            # exactly, and the accumulator's K half is discarded outside
+            v = k if spec["qpad"] else fp8_upcast_f32(v_refs[pi][0])
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)      # [hkv, g, bs]
@@ -338,6 +342,12 @@ def _decode_kernel_dma(
                 v_hbm.at[pg], vbuf.at[slot], sv.at[slot]).wait()
 
     def kv_slot(slot):
+        if spec["qpad"]:
+            # half-lane fused pages: the whole [hkv, bs, 128] page is
+            # both K and V (q zero-padded over the V half; the
+            # accumulator's K half is discarded by the caller)
+            whole = kvbuf[slot]
+            return whole, whole
         if fused:
             return kvbuf[slot, :, :, :d], kvbuf[slot, :, :, d:]
         return kbuf[slot], vbuf[slot]
@@ -526,8 +536,14 @@ def _decode_kernel_dma(
     if out_q:
         # per-token (per-sequence) dynamic int8 quant straight from the
         # f32 accumulator (matches ops.quant
-        # dynamic_per_token_scaled_int8_quant numerics)
-        amax = jnp.max(jnp.abs(o))
+        # dynamic_per_token_scaled_int8_quant numerics).  In qpad mode
+        # the K half of the accumulator is garbage — mask it out of the
+        # amax (the caller discards those lanes).
+        o_amax = o
+        if spec["qpad"]:
+            lane = jax.lax.broadcasted_iota(jnp.int32, o.shape, 2)
+            o_amax = jnp.where(lane >= d, o, 0.0)
+        amax = jnp.max(jnp.abs(o_amax))
         s_tok = jnp.maximum(amax / 127.0, 1e-10)
         o_ref[0] = jnp.clip(jnp.round(o * (1.0 / s_tok)), -127, 127
                             ).astype(jnp.int8)
@@ -582,6 +598,14 @@ def _paged_decode_dma(
         stage = 1
 
     q4 = q.reshape(b_, hkv, g, d)
+    # half-lane fused pages (d == dv == 64): whole [.., 128] pages serve
+    # as both K and V; q zero-pads over the V half (exact QK contract),
+    # the accumulator runs 128-wide and the caller slices off the K half
+    qpad_mode = fused and d % 128 != 0
+    dq = d + dv if qpad_mode else d
+    dvk = d + dv if qpad_mode else dv
+    if qpad_mode:
+        q4 = jnp.pad(q4, ((0, 0),) * 3 + ((0, dv),))
     exp_spec, sink_arr = _exp_consts(scale, softcap, sink, hkv, g)
     desc = jnp.stack([
         jnp.asarray(1.0 if k_descale is None else k_descale,
@@ -597,7 +621,7 @@ def _paged_decode_dma(
         bs=bs, stage=stage,
         window_left=int(window[0]), has_sink=sink is not None,
         fp8_kv=k_cache.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2),
-        depth=depth, fused=fused, fresh=fresh, d=d,
+        depth=depth, fused=fused, fresh=fresh, d=d, qpad=qpad_mode,
         writeback=wb, out_q=bool(out_quant), **exp_spec,
     )
 
@@ -621,10 +645,10 @@ def _paged_decode_dma(
     if wb:
         prefetch.append(fresh_slots.astype(jnp.int32))
     out_specs = [
-        pl.BlockSpec((1, hkv, g, dv), lambda b, *_: (b, 0, 0, 0)),
+        pl.BlockSpec((1, hkv, g, dvk), lambda b, *_: (b, 0, 0, 0)),
     ]
     out_shapes = [jax.ShapeDtypeStruct(
-        (b_, hkv, g, dv), jnp.int8 if out_quant else q.dtype)]
+        (b_, hkv, g, dvk), jnp.int8 if out_quant else q.dtype)]
     if out_quant:
         out_specs.append(pl.BlockSpec((1, 1, 1), lambda b, *_: (b, 0, 0)))
         out_shapes.append(jax.ShapeDtypeStruct((b_, 1, 1), jnp.float32))
@@ -640,7 +664,7 @@ def _paged_decode_dma(
     scratch = bufs + [
         pltpu.VMEM((hkv, g, 1), jnp.float32),
         pltpu.VMEM((hkv, g, 1), jnp.float32),
-        pltpu.VMEM((hkv, g, dv), jnp.float32),
+        pltpu.VMEM((hkv, g, dvk), jnp.float32),
     ]
     if wb:
         scratch.append(pltpu.VMEM((hkv, 8, d + dv), k_cache.dtype))
@@ -654,7 +678,7 @@ def _paged_decode_dma(
             pl.BlockSpec((hkv, g, 1), lambda b, *_: (0, 0, 0)),   # sink
             pl.BlockSpec((1, 2), lambda b, *_: (0, 0),
                          memory_space=pltpu.SMEM),                # descale
-            pl.BlockSpec((1, hkv, g, d), lambda b, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, g, dq), lambda b, *_: (b, 0, 0, 0)),
         ] + fresh_specs + cache_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -803,16 +827,22 @@ def paged_decode(
             fresh_kv=fresh_kv, fresh_slots=fresh_slots,
             out_quant=out_quant)
     if fused:
-        assert d % 128 == 0 and dv % 128 == 0, (
-            "fused KV layout needs lane-aligned head sizes")
+        assert d == dv and (d + dv) % 128 == 0, (
+            "fused KV pages need a lane-aligned total width; "
+            "d == dv == 64 half-lane pages run via the padded-q path")
     assert fresh_kv is None or fused, \
         "fresh_kv requires the fused page layout"
 
     from vllm_xpu_kernels_tpu.envs import VXK_DECODE_IMPL
     # The dma kernel's manual HBM page slices need lane-aligned trailing
-    # dims (Mosaic memref_slice: last dim a multiple of 128); exotic head
-    # sizes (MLA 192/576, tiny test heads) take the pipelined kernel.
-    dma_ok = (d % 128 == 0 and dv % 128 == 0 and bs % 8 == 0)
+    # dims (Mosaic memref_slice: last dim a multiple of 128).  Fused
+    # half-lane pages (d == dv == 64) qualify: whole [.., 128] pages are
+    # copied and the padded-q trick avoids sub-128 lane slicing in the
+    # kernel.  Exotic head sizes (MLA 192/576, tiny test heads) take the
+    # pipelined kernel.
+    dma_ok = (((d % 128 == 0 and dv % 128 == 0)
+               or (fused and (d + dv) % 128 == 0))
+              and bs % 8 == 0)
     if dma_ok and VXK_DECODE_IMPL() == "dma" and pages_per_step is None:
         oq = out_quant and fresh_kv is None   # fresh merges post-kernel
         out4, lse4, o_scale, new_cache = _paged_decode_dma(
@@ -821,6 +851,8 @@ def paged_decode(
             v_descale=v_descale, max_seqlen_k=max_seqlen_k,
             fresh_kv=fresh_kv, fresh_slots=fresh_slots,
             out_quant=oq)
+        if fused and d % 128 != 0:
+            out4 = out4[..., d:]             # discard the qpad K half
         out = out4.reshape(b_, hq, dv)
         lse = lse4.reshape(b_, hq).T
         if fresh_kv is not None:
@@ -907,8 +939,13 @@ def paged_decode(
                     jnp.float32).reshape(()),
     ]).reshape(1, 2)
 
+    half_fused = fused and d % 128 != 0
+    dq = d + dv if half_fused else d
+    dvk = d + dv if half_fused else dv
+    if half_fused:
+        q4 = jnp.pad(q4, ((0, 0),) * 3 + ((0, dv),))
     spec = dict(
-        bs=bs, g=g, hkv=hkv,
+        bs=bs, g=g, hkv=hkv, qpad=half_fused,
         window_left=int(window[0]), has_sink=sink is not None,
         fp8_kv=k_cache.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2),
         pages_per_step=pp, **exp_spec,
@@ -935,6 +972,11 @@ def paged_decode(
             return (tbl[b, jc], 0, 0, vblk)
         return kv_map
 
+    v_specs = ([] if half_fused else [
+        pl.BlockSpec((1, hkv, bs, dv), kv_map_p(p, vblk=1 if fused else 0))
+        for p in range(pp)])
+    v_ins = (() if half_fused
+             else ((k_cache if fused else v_cache),) * pp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b_, n_steps),
@@ -942,21 +984,18 @@ def paged_decode(
             pl.BlockSpec((hkv, g, 1), lambda b, j, *_: (0, 0, 0)),   # sink
             pl.BlockSpec((1, 2), lambda b, j, *_: (0, 0),
                          memory_space=pltpu.SMEM),                   # descale
-            pl.BlockSpec((1, hkv, g, d), q_map),
+            pl.BlockSpec((1, hkv, g, dq), q_map),
         ] + [
-            pl.BlockSpec((1, hkv, bs, d), kv_map_p(p)) for p in range(pp)
-        ] + [
-            pl.BlockSpec((1, hkv, bs, dv), kv_map_p(p, vblk=1 if fused else 0))
-            for p in range(pp)
-        ],
+            pl.BlockSpec((1, hkv, bs, dq), kv_map_p(p)) for p in range(pp)
+        ] + v_specs,
         out_specs=[
-            pl.BlockSpec((1, hkv, g, dv), lambda b, j, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, g, dvk), lambda b, j, *_: (b, 0, 0, 0)),
             pl.BlockSpec((1, hkv, g, 1), lambda b, j, *_: (b, 0, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((hkv, g, 1), jnp.float32),
             pltpu.VMEM((hkv, g, 1), jnp.float32),
-            pltpu.VMEM((hkv, g, dv), jnp.float32),
+            pltpu.VMEM((hkv, g, dvk), jnp.float32),
         ],
     )
     # sink/descale ride as tiny SMEM tensors (not prefetch: float arrays)
@@ -964,7 +1003,7 @@ def paged_decode(
         functools.partial(_decode_kernel, spec),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b_, hkv, g, dv), q.dtype),
+            jax.ShapeDtypeStruct((b_, hkv, g, dvk), q.dtype),
             jax.ShapeDtypeStruct((b_, hkv, g, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -972,8 +1011,9 @@ def paged_decode(
         ),
         interpret=interpret_mode(),
     )(seqused_k.astype(jnp.int32), block_table.astype(jnp.int32),
-      sink_arr, desc, q4, *([k_cache] * pp),
-      *([k_cache if fused else v_cache] * pp))
+      sink_arr, desc, q4, *([k_cache] * pp), *v_ins)
+    if half_fused:
+        out = out[..., d:]                       # discard the K half
     return out.reshape(b_, hq, dv), lse4.reshape(b_, hq).T
 
 
@@ -1000,9 +1040,10 @@ def _prefill_kernel(
     P = spec["pages"]
     sink_ref, descale_ref, q_ref = refs[:3]
     k_refs = refs[3:3 + P]
-    v_refs = refs[3 + P:3 + 2 * P]
+    nv = 0 if spec["qpad"] else P       # qpad: V rides in the K pages
+    v_refs = refs[3 + P:3 + P + nv]
     (o_ref, lse_ref, m_ref, l_ref, acc_ref,
-     s_buf, v_buf) = refs[3 + 2 * P:]
+     s_buf, v_buf) = refs[3 + P + nv:]
 
     b = pl.program_id(0)
     iq = pl.program_id(2)
@@ -1058,7 +1099,17 @@ def _prefill_kernel(
         from vllm_xpu_kernels_tpu.kernels.quant_matmul import (
             fp8_upcast_f32)
 
-        if spec["fp8_kv"]:
+        if spec["qpad"]:
+            # half-lane fused pages (Dk == Dv == 64, page width 128):
+            # the WHOLE page serves as both K and V — q is zero-padded
+            # over the V half so QK contracts exactly, and PV runs with
+            # a 128-wide accumulator whose K half is discarded outside
+            # (no sub-128 lane slicing, which Mosaic rejects/relayouts)
+            blk = k_refs[p][0, 0]
+            k = (fp8_upcast_f32(blk).astype(jnp.bfloat16)
+                 if spec["fp8_kv"] else blk.astype(jnp.bfloat16))
+            v = k
+        elif spec["fp8_kv"]:
             k = fp8_upcast_f32(k_refs[p][0, 0]).astype(jnp.bfloat16)
             v = fp8_upcast_f32(v_refs[p][0, 0]).astype(jnp.bfloat16)
         else:
@@ -1192,6 +1243,7 @@ def chunk_prefill(
         if fused:
             assert d == dv, ("the prefill kernel reads a fused cache as "
                              "two equal last-dim blocks; Dk must equal Dv")
+            assert (d + dv) % 128 == 0, "fused pages must be lane-aligned"
         bkv = bs
         kv_limit = min(max_seqlen_k, nb * bs)
     else:
@@ -1233,9 +1285,18 @@ def chunk_prefill(
     pages = min(pages, n_kv_tiles)
     n_kv_steps = _cdiv(n_kv_tiles, pages)
 
+    # half-lane fused pages (Dk == Dv == 64): whole [.., 128] pages serve
+    # as both K and V; q zero-pads over the V half so QK contracts
+    # exactly, PV accumulates 128-wide and the K half is sliced off the
+    # output below (no sub-128 lane slicing in the kernel)
+    half_fused = fused and d % 128 != 0
+    dq = d + dv if half_fused else d
+    dvk = d + dv if half_fused else dv         # kernel-side value width
     # pad q per-seq, grouped by KV head: [B, Hkv, G, Qp, D]
     qpad, _, _ = attn_ops._gather_padded_q(q, cu_seqlens_q, batch, qp)
     qpad = qpad.transpose(0, 2, 1, 3).reshape(batch, hkv, g, qp, d)
+    if half_fused:
+        qpad = jnp.pad(qpad, ((0, 0),) * 4 + ((0, dv),))
     if not paged:
         kp = _round_up(kv_limit, bkv)
         kpad = attn_ops._gather_padded_kv_packed(
@@ -1252,7 +1313,7 @@ def chunk_prefill(
     ]).reshape(1, 2)
     spec = dict(
         bq=bq, bkv=bkv, g=g, pages=pages,
-        causal=bool(causal),
+        causal=bool(causal), qpad=half_fused,
         window_left=int(window[0]), window_right=int(window[1]),
         has_sink=sink is not None,
         fp8_kv=(k.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)),
@@ -1285,12 +1346,17 @@ def chunk_prefill(
             return (b, h, jc, vblk)
         return kv_map
 
-    k_specs = [pl.BlockSpec((1, 1, bkv, d), kv_map_p(p, paged))
+    k_specs = [pl.BlockSpec((1, 1, bkv, dq), kv_map_p(p, paged))
                for p in range(pages)]
-    v_specs = [pl.BlockSpec((1, 1, bkv, dv),
-                            kv_map_p(p, paged, vblk=1 if fused else 0))
-               for p in range(pages)]
-    k_in, v_in = (k, k if fused else v) if paged else (kpad, vpad)
+    if half_fused:
+        # the whole page is the only operand; the kernel reads V from it
+        v_specs, v_ins = [], ()
+    else:
+        v_specs = [pl.BlockSpec((1, 1, bkv, dv),
+                                kv_map_p(p, paged, vblk=1 if fused else 0))
+                   for p in range(pages)]
+        v_ins = ((k if fused else v) if paged else vpad,) * pages
+    k_in = k if paged else kpad
 
     offs = (causal_offsets.astype(jnp.int32) if causal_offsets is not None
             else (kv_lens - q_lens).astype(jnp.int32))
@@ -1301,10 +1367,10 @@ def chunk_prefill(
             pl.BlockSpec((1, g, 1), lambda b, h, iq, jk, *_: (h, 0, 0)),
             pl.BlockSpec((1, 2), lambda *_: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, g, bq, d), q_map),
+            pl.BlockSpec((1, 1, g, bq, dq), q_map),
         ] + k_specs + v_specs,
         out_specs=[
-            pl.BlockSpec((1, g, bq, dv),
+            pl.BlockSpec((1, g, bq, dvk),
                          lambda b, h, iq, jk, *_: (b, h, iq, 0)),
             pl.BlockSpec((1, g, bq, 1),
                          lambda b, h, iq, jk, *_: (b, h, iq, 0)),
@@ -1312,16 +1378,16 @@ def chunk_prefill(
         scratch_shapes=[
             pltpu.VMEM((g, bq, 1), jnp.float32),
             pltpu.VMEM((g, bq, 1), jnp.float32),
-            pltpu.VMEM((g, bq, dv), jnp.float32),
+            pltpu.VMEM((g, bq, dvk), jnp.float32),
             pltpu.VMEM((g, bq, pages * bkv), jnp.float32),   # staged logits
-            pltpu.VMEM((pages * bkv, dv), jnp.bfloat16),     # staged V
+            pltpu.VMEM((pages * bkv, dvk), jnp.bfloat16),    # staged V
         ],
     )
     opad, lsepad = pl.pallas_call(
         functools.partial(_prefill_kernel, spec),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((batch, hq, qp, dv), q.dtype),
+            jax.ShapeDtypeStruct((batch, hq, qp, dvk), q.dtype),
             jax.ShapeDtypeStruct((batch, hq, qp, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1330,7 +1396,9 @@ def chunk_prefill(
         ),
         interpret=interpret_mode(),
     )(q_lens, kv_lens, offs, tbl, sink_arr, desc, qpad,
-      *([k_in] * pages), *([v_in] * pages))
+      *([k_in] * pages), *v_ins)
+    if half_fused:
+        opad = opad[..., d:]                     # discard the K half
 
     seq_of_row, pos_of_row = attn_ops._row_maps(cu_seqlens_q, total_q, batch)
     out = opad[seq_of_row, :, pos_of_row]        # [total_q, Hq, Dv]

@@ -49,7 +49,8 @@ class LlamaConfig:
     qk_norm: bool = False        # Qwen3-style per-head RMSNorm on q/k
     kv_fused: bool = True        # fused [nb, Hkv, bs, 2*D] KV pages: one
     # DMA per page in decode, one row-scatter per cache write (needs
-    # head_dim % 128 == 0; init_kv_cache falls back to split otherwise)
+    # 2*head_dim % 128 == 0 — D=64 runs via the kernels' padded-q path;
+    # init_kv_cache falls back to split otherwise)
 
     @property
     def jdtype(self):
@@ -325,7 +326,7 @@ def init_kv_cache(cfg: LlamaConfig, num_blocks: int, kv_dtype=None):
     kernel, one row-scatter per cache write — and the returned v list is
     all-None (the layer code detects the layout from that)."""
     kv_dtype = kv_dtype or cfg.jdtype
-    if cfg.kv_fused and cfg.head_dim % 128 == 0:
+    if cfg.kv_fused and (2 * cfg.head_dim) % 128 == 0:
         shape = (num_blocks, cfg.num_kv_heads, cfg.block_size,
                  2 * cfg.head_dim)
         kvs = [jnp.zeros(shape, kv_dtype) for _ in range(cfg.num_layers)]

@@ -147,7 +147,7 @@ def init_state(cfg: Qwen3NextConfig, num_blocks: int, num_state_slots: int,
     """-> (k_caches, v_caches, conv_states, ssm_states): paged KV per
     full-attn layer, recurrent state slots per GDN layer."""
     kv_dtype = kv_dtype or cfg.jdtype
-    if cfg.kv_fused and cfg.head_dim % 128 == 0:
+    if cfg.kv_fused and (2 * cfg.head_dim) % 128 == 0:
         # fused K|V pages (one DMA per page in decode; models/llama.py)
         shape = (num_blocks, cfg.num_kv_heads, cfg.block_size,
                  2 * cfg.head_dim)
