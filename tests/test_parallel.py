@@ -255,14 +255,16 @@ def test_ep_fused_moe_matches_single_device():
                     atol=3e-2 * max(1.0, np.abs(np.asarray(golden)).max()))
 
 
-@pytest.mark.parametrize("capacity", [None, 16])
+@pytest.mark.parametrize("capacity", ["exact", 16])
 @pytest.mark.parametrize("quant", ["none", "w8a8"])
 def test_ep_fused_moe_a2a_matches_gather(quant, capacity):
     """a2a token dispatch == gather strategy == single-device fused MoE.
 
     capacity=16 == t_local*k here, i.e. the exact worst case — identical
-    results with the bucketed send layout exercised; capacity=None takes
-    the default exact path."""
+    results with the bucketed send layout exercised; capacity="exact"
+    takes the lossless path explicitly (the None default is the
+    capacity-factor heuristic, tested separately with balanced
+    routing)."""
     from vllm_xpu_kernels_tpu import ops
     from vllm_xpu_kernels_tpu.parallel import ep_fused_moe
 
@@ -342,12 +344,71 @@ def test_ep_a2a_capacity_drop():
             out_specs=P("ep"), check_rep=False)
         return np.asarray(jax.jit(f)(x, w13, w2, tw, ti), np.float32)
 
-    full = run(None)
+    full = run("exact")
     capped = run(1)
     # first token of each rank's shard survives, the rest are dropped
     kept = np.arange(t) % t_local == 0
     np.testing.assert_allclose(capped[kept], full[kept], rtol=1e-5)
     np.testing.assert_array_equal(capped[~kept], 0.0)
+
+
+def test_ep_a2a_default_capacity_and_dropped_count():
+    """The DEFAULT capacity is the ceil(cf*K*T/ep) heuristic
+    (VXK_EP_A2A_CF=1.25): with perfectly balanced round-robin routing
+    nothing drops and the result matches the exact-capacity path;
+    ``return_dropped`` surfaces the overflow count, and a capacity of 1
+    under skewed routing reports exactly the expected number of dropped
+    slots."""
+    from vllm_xpu_kernels_tpu.parallel import ep_fused_moe
+
+    ep = 4
+    t_local, d, inter, e_total, k = 8, 32, 64, 8, 2
+    t = t_local * ep
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((t, d)) * 0.3, jnp.bfloat16)
+    w13 = jnp.asarray(rng.standard_normal((e_total, d, 2 * inter)) * 0.1,
+                      jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((e_total, inter, d)) * 0.1,
+                     jnp.bfloat16)
+    # balanced routing: token i -> experts (2i, 2i+1) mod e_total, so
+    # each rank sends exactly K*T_local/ep = 4 slots per destination,
+    # under the default capacity ceil(1.25*16/4) = 5
+    ti = ((jnp.arange(t)[:, None] * k + jnp.arange(k)[None, :])
+          % e_total).astype(jnp.int32)
+    tw = jnp.full((t, k), 0.5, jnp.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:ep]), ("ep",))
+
+    def body(capacity):
+        def f(x, w13, w2, tw, ti):
+            o, dr = ep_fused_moe(
+                x, w13, w2, tw, ti, "ep", block_m=32, strategy="a2a",
+                capacity=capacity, return_dropped=True)
+            return o, dr[None]           # rank-0 scalar -> per-rank lane
+        return f
+
+    def run(capacity):
+        f = shard_map(
+            body(capacity), mesh=mesh,
+            in_specs=(P("ep"),) * 5,
+            out_specs=(P("ep"), P("ep")), check_rep=False)
+        out, dr = jax.jit(f)(x, w13, w2, tw, ti)
+        return np.asarray(out, np.float32), np.asarray(dr)
+
+    got, dropped = run(None)
+    ref, dropped_exact = run("exact")
+    np.testing.assert_array_equal(dropped, 0)
+    np.testing.assert_array_equal(dropped_exact, 0)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # skewed: every slot to expert 0 -> per rank K*T_local slots to rank
+    # 0, capacity 1 keeps one -> dropped = K*T_local - 1 per rank
+    ti0 = jnp.zeros((t, k), jnp.int32)
+    f = shard_map(
+        body(1), mesh=mesh,
+        in_specs=(P("ep"),) * 5,
+        out_specs=(P("ep"), P("ep")), check_rep=False)
+    _, dr = jax.jit(f)(x, w13, w2, tw, ti0)
+    np.testing.assert_array_equal(np.asarray(dr), k * t_local - 1)
 
 
 def test_gpipe_llama_stages():

@@ -119,6 +119,13 @@ VXK_ATTN_EXP2 = _register(
     "scale and use the VPU's native pow2 instead of exp).  Numerically "
     "equivalent; disable only for debugging.")
 
+VXK_EP_A2A_CF = _register(
+    "VXK_EP_A2A_CF", float, 1.25,
+    "Capacity factor for the EP all-to-all dispatch's default bucket "
+    "size ceil(cf*K*T_local/ep_size) (parallel/moe.ep_fused_moe).  "
+    "Raise for skewed routers (fewer drops, more ICI bytes); the "
+    "dropped-slot count is returned via return_dropped=True.")
+
 VXK_DEBUG_LOG = _register(
     "VXK_DEBUG_LOG", _bool, False,
     "Verbose engine logging (analogue of XPUMEM_DEBUG_LOG_METADATA).")

@@ -56,26 +56,42 @@ def ep_fused_moe(
     group_size: int = 0,
     block_m: int = 128,
     strategy: str = "gather",      # gather | a2a
-    capacity: Optional[int] = None,
+    capacity: Optional[int | str] = None,
+    return_dropped: bool = False,
 ) -> jax.Array:
     """-> [T_local, D]: each token's full MoE output (sum over its top-k
     experts, wherever they live).
 
     ``strategy="a2a"``: all-to-all token dispatch.  ``capacity`` is the
-    per-(src, dst)-rank slot budget; ``None`` picks the EXACT worst case
-    ``T_local·K`` (no token ever dropped — every slot of one rank could
-    route to one destination).  Production deployments with balanced
-    routers pass ``capacity ≈ ceil(1.25·K·T_local/ep_size)`` to get the
-    ~K/ep ICI-byte win; overflow slots beyond capacity are dropped
-    (their routing weight's contribution is lost), matching standard
-    capacity-factor MoE semantics."""
+    per-(src, dst)-rank slot budget:
+
+    - ``None`` (default): ``ceil(cf·K·T_local/ep_size)`` with the
+      capacity factor ``cf`` from ``VXK_EP_A2A_CF`` (default 1.25) —
+      the standard capacity-factor MoE contract.  This is what makes
+      a2a beat gather on ICI bytes BY DEFAULT: per rank and direction
+      it moves ``ep·C·D ≈ cf·K·T·D`` bytes vs gather's ``ep·T·D``,
+      a ``cf·K/ep`` fraction (~3.2x fewer at ep=8, K=2, cf=1.25).
+    - ``"exact"``: the lossless worst case ``T_local·K`` (no token can
+      ever drop, every slot of one rank could route to one
+      destination) — ICI bytes then equal ``ep·K·T·D``, i.e. a2a only
+      ties gather at K==ep; use for correctness baselines.
+    - an int: explicit budget.
+
+    Overflow slots beyond capacity are dropped (that expert's
+    contribution is lost for that token; the other top-k contributions
+    survive).  Drops are OBSERVABLE: with ``return_dropped=True`` the
+    return is ``(out, dropped)`` where ``dropped`` is this rank's
+    count of valid routing slots that exceeded their bucket — psum it
+    over the axis for the global count and alert when it is nonzero.
+    ``strategy="gather"`` never drops (dropped == 0)."""
     if strategy == "a2a":
-        return _ep_fused_moe_a2a(
+        out = _ep_fused_moe_a2a(
             hidden_states, w13_local, w2_local, topk_weights, topk_ids,
             axis, activation=activation, quant=quant,
             w13_scales=w13_scales, w2_scales=w2_scales,
             w13_bias=w13_bias, w2_bias=w2_bias, group_size=group_size,
             block_m=block_m, capacity=capacity)
+        return out if return_dropped else out[0]
     from vllm_xpu_kernels_tpu.ops.moe import tpu_fused_moe
 
     ep_size = jax.lax.axis_size(axis)
@@ -101,7 +117,10 @@ def ep_fused_moe(
     # sum partials across ranks, landing each rank's own token shard
     out = jax.lax.psum_scatter(
         partial.astype(jnp.float32), axis, scatter_dimension=0, tiled=True)
-    return out.astype(hidden_states.dtype)
+    out = out.astype(hidden_states.dtype)
+    if return_dropped:
+        return out, jnp.zeros((), jnp.int32)
+    return out
 
 
 def _ep_fused_moe_a2a(
@@ -126,7 +145,14 @@ def _ep_fused_moe_a2a(
     t, d = hidden_states.shape
     k = topk_ids.shape[1]
     n = t * k
-    cap = n if capacity is None else min(int(capacity), n)
+    if capacity is None:
+        from vllm_xpu_kernels_tpu.envs import VXK_EP_A2A_CF
+
+        cap = min(-(-int(VXK_EP_A2A_CF() * n) // ep), n)
+    elif capacity == "exact":
+        cap = n
+    else:
+        cap = min(int(capacity), n)
 
     ids = topk_ids.astype(jnp.int32).reshape(n)
     w = topk_weights.astype(jnp.float32).reshape(n)
@@ -180,4 +206,5 @@ def _ep_fused_moe_a2a(
     back = jnp.concatenate([back, jnp.zeros((1, d), back.dtype)])
     y = back[jnp.where(ok, send_slot, ep * cap)]          # [n, D]
     out = jax.ops.segment_sum(y, src_tok, num_segments=t)
-    return out.astype(hidden_states.dtype)
+    dropped = jnp.sum((dest_s < ep) & ~ok).astype(jnp.int32)
+    return out.astype(hidden_states.dtype), dropped
