@@ -44,9 +44,13 @@ PROFILES = {
         "quant": ["w8a8"],
         "ew_shapes": [(9, 2048)],
     },
-    # DeepSeek V3/R1: MLA (qk 192/576, v 128/512) + sparse indexer
+    # DeepSeek V3/R1: MLA (qk 192/576, v 128/512) + sparse indexer.
+    # 576 covers the absorbed-latent decode shape (reference
+    # chunk_prefill_kernel.hpp:70 "up to 576/512"); the rectangular
+    # 576/512 pairs are always-on in test_flash_attn.py::test_decode_mla
+    # / test_prefill_mla_chunked.
     "deepseek": {
-        "head_size": [64, 192],
+        "head_size": [64, 192, 576],
         "block_size": [16, 64],
         "quant": ["fp8", "w8a8"],
         "ew_shapes": [(17, 7168)],

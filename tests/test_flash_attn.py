@@ -205,19 +205,44 @@ def test_decode_features(kind, impl):
     assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
 
 
-def test_decode_mla(impl):
+@pytest.mark.parametrize("hs_qk,hs_vo", [(192, 128), (576, 512)])
+def test_decode_mla(hs_qk, hs_vo, impl):
     """MLA shapes: head_size_qk != head_size_vo
-    (reference: test_decode_with_paged_kv_mla, head_size 192/128)."""
+    (reference: test_decode_with_paged_kv_mla, head_size 192/128; the
+    chunk-prefill kernel's contract extends "up to 576/512" — DeepSeek-V3
+    absorbed latent decode, chunk_prefill_kernel.hpp:70 — so the real
+    V3 shape is tested too, incl. the non-128-multiple d_qk=576)."""
     seq_lens = [(1, 130), (1, 37)]
     qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \
-        make_paged(seq_lens, (8, 1), 192, 128, 16, 64, jnp.bfloat16, seed=4)
-    scale = 192 ** -0.5
+        make_paged(seq_lens, (8, 1), hs_qk, hs_vo, 16, 64, jnp.bfloat16,
+                   seed=4)
+    scale = hs_qk ** -0.5
     out = ops.flash_attn_varlen_func(
         qj, kj, vj, 1, cu_q, max(kv_lens),
         seqused_k=used_k, block_table=tbl, causal=True, softmax_scale=scale)
     golden, _ = np_ref_attn(qf, kv_lens, q_lens, keys_, vals_, scale,
                             causal=True)
-    assert out.shape == (2, 8, 128)
+    assert out.shape == (2, 8, hs_vo)
+    assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("hs_qk,hs_vo", [(576, 512)])
+def test_prefill_mla_chunked(hs_qk, hs_vo, impl):
+    """Chunk-prefill at the full DeepSeek-V3 MLA head sizes (reference
+    chunk_prefill_kernel.hpp:70 'up to 576/512' + test_mla_decode.py):
+    varlen paged prefill with q-len > 1 rows against the latent cache
+    (Hkv = 1 absorbed layout)."""
+    seq_lens = [(33, 70), (5, 18)]
+    qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \
+        make_paged(seq_lens, (8, 1), hs_qk, hs_vo, 16, 64, jnp.bfloat16,
+                   seed=11)
+    scale = hs_qk ** -0.5
+    out = ops.flash_attn_varlen_func(
+        qj, kj, vj, max(q_lens), cu_q, max(kv_lens),
+        seqused_k=used_k, block_table=tbl, causal=True, softmax_scale=scale)
+    golden, _ = np_ref_attn(qf, kv_lens, q_lens, keys_, vals_, scale,
+                            causal=True)
+    assert out.shape == (sum(q_lens), 8, hs_vo)
     assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
 
 

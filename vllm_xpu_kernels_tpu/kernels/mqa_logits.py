@@ -139,12 +139,26 @@ def _mqa_dma_kernel(spec, ctx_ref, tbl_ref, q_ref, w_ref, kv_hbm, sc_hbm,
 
     def issue_half(seq, r, half, lim):
         base = r * R
-        for c in range(R):
-            @pl.when(base + c < lim)
-            def _(c=c):
+
+        # full rounds issue all R copies under ONE branch — the per-page
+        # pl.when guards cost ~as much scalar time as the copy-start
+        # descriptors themselves (the issue loop, not the transfer, is
+        # what bounds this kernel at small pages)
+        @pl.when(base + R <= lim)
+        def _():
+            for c in range(R):
                 pltpu.make_async_copy(
                     kv_hbm.at[tbl_ref[seq, base + c]],
                     kbuf.at[half * R + c], sks[half]).start()
+
+        @pl.when((base < lim) & (base + R > lim))
+        def _():
+            for c in range(R):
+                @pl.when(base + c < lim)
+                def _(c=c):
+                    pltpu.make_async_copy(
+                        kv_hbm.at[tbl_ref[seq, base + c]],
+                        kbuf.at[half * R + c], sks[half]).start()
         pltpu.make_async_copy(
             sc_hbm.at[pl.ds(seq * spec["sc_span"] + r * R * bs, R * bs)],
             sbufs[half], ss.at[half]).start()
@@ -190,9 +204,12 @@ def _mqa_dma_kernel(spec, ctx_ref, tbl_ref, q_ref, w_ref, kv_hbm, sc_hbm,
         s = jax.lax.dot_general(
             q2, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [n*h, R*bs]
-        s = s * sbufs[half][...][None, :]
+        # per-token scales are POSITIVE (amax/448 with a 1e-4 floor), so
+        # relu(s*scale) == relu(s)*scale and the scale multiply folds
+        # AFTER the head sum: one [n, cols] pass instead of [n*h, cols]
         s3 = s.reshape(next_n, h, R * bs)
-        lg = jnp.sum(jax.nn.relu(s3) * w[:, :, None], axis=1)
+        lg = (jnp.sum(jax.nn.relu(s3) * w[:, :, None], axis=1)
+              * sbufs[half][...][None, :])
         kpos = (base * bs + jax.lax.broadcasted_iota(
             jnp.int32, (next_n, R * bs), 1))
         q_off = (ctx - next_n + jax.lax.broadcasted_iota(

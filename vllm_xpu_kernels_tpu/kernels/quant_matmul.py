@@ -534,6 +534,7 @@ def int8_matmul_pallas(
     # per-token/per-channel scales in the last K step writes the narrow
     # dtype once.
     fused = out_dtype is not None
+    has_bias = bias is not None
     if fused:
         ar = (jnp.broadcast_to(
             jnp.asarray(1.0 if a_row is None else a_row, jnp.float32
@@ -541,12 +542,14 @@ def int8_matmul_pallas(
         bc = (jnp.broadcast_to(
             jnp.asarray(1.0 if b_col is None else b_col, jnp.float32
                         ).reshape(1, -1), (1, N)))
-        if bias is not None:
+        if has_bias:
+            # scale row + bias row ride as one [2, N] operand; the
+            # bias-less path skips the concat entirely (it showed up as
+            # a loop-invariant pad+concat per GEMM per decode step)
             bc2 = jnp.concatenate(
                 [bc, jnp.asarray(bias, jnp.float32).reshape(1, N)], axis=0)
         else:
-            bc2 = jnp.concatenate([bc, jnp.zeros((1, N), jnp.float32)],
-                                  axis=0)
+            bc2 = bc
 
     def kernel(*refs):
         if fused:
@@ -567,8 +570,9 @@ def int8_matmul_pallas(
         def _():
             if fused:
                 out = (acc_ref[:].astype(jnp.float32)
-                       * ar_ref[...] * bc_ref[0:1]
-                       + bc_ref[1:2])
+                       * ar_ref[...] * bc_ref[0:1])
+                if has_bias:
+                    out = out + bc_ref[1:2]
                 o_ref[:] = out.astype(o_ref.dtype)
             else:
                 o_ref[:] = acc_ref[:]
@@ -578,7 +582,8 @@ def int8_matmul_pallas(
     operands = [a, b]
     if fused:
         in_specs += [pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
-                     pl.BlockSpec((2, bn), lambda i, j, k: (0, j))]
+                     pl.BlockSpec((2 if has_bias else 1, bn),
+                                  lambda i, j, k: (0, j))]
         operands += [ar, bc2]
     return pl.pallas_call(
         kernel,
