@@ -139,7 +139,18 @@ def _quantize_experts_mxfp4(w):
 
 def _expert_params(cfg: GptOssConfig, w13, w2, b13, b2):
     """Pack raw f32 expert stacks per cfg.quant ('none' | 'mxfp4' — the
-    released-checkpoint recipe).  Biases stay bf16-or-model-dtype."""
+    released-checkpoint recipe).  Biases stay bf16-or-model-dtype.
+
+    gate_up columns de-interleave to the [gate | up] HALVES layout here
+    (one-time, load-side): the swigluoai contract's [0::2]/[1::2] strided
+    slices cost a lane-relayout pass each per MoE call on TPU — the
+    largest share of the fused pipeline's inter-GEMM glue.  The engine is
+    told via gate_up_layout="halves" (ops.moe._swigluoai_halves)."""
+    from vllm_xpu_kernels_tpu.ops.moe import gate_up_halves_perm
+
+    perm = jnp.asarray(gate_up_halves_perm(w13.shape[-1]))
+    w13 = jnp.take(w13, perm, axis=-1)
+    b13 = jnp.take(b13, perm, axis=-1)
     lp = {}
     if cfg.quant == "mxfp4":
         p13, s13 = _quantize_experts_mxfp4(w13)
@@ -202,7 +213,7 @@ def _moe_mlp(cfg: GptOssConfig, lp, x, tp_axis, ep_axis=None):
     quant = "mxfp4" if "mx" in lp["w13"] else "none"
     kwargs = dict(
         w13_bias=lp["w13"]["b"], w2_bias=lp["w2"]["b"],
-        activation="swigluoai")
+        activation="swigluoai", gate_up_layout="halves")
     if quant == "mxfp4":
         kwargs.update(w13_scales=lp["w13"]["mx"],
                       w2_scales=lp["w2"]["mx"], group_size=32)

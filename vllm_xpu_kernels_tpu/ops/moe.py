@@ -454,6 +454,30 @@ _ACTS = {
 }
 
 
+def _swigluoai_halves(x, alpha=1.702, limit=7.0):
+    """swigluoai over a [gate | up] HALVES layout (the weights were
+    de-interleaved at load — models/gpt_oss._expert_params): contiguous
+    half-slices instead of the interleaved contract's [0::2]/[1::2]
+    strided gathers, which cost a lane-relayout pass each on TPU (the
+    dominant share of the fused mxfp4 pipeline's inter-GEMM glue)."""
+    d = x.shape[-1] // 2
+    gate = jnp.minimum(x[..., :d].astype(jnp.float32), limit)
+    up = jnp.clip(x[..., d:].astype(jnp.float32), -limit, limit)
+    return ((up + 1.0) * gate * jax.nn.sigmoid(gate * alpha)).astype(x.dtype)
+
+
+# activation table for weights stored in the [gate | up] halves layout
+# (every non-swigluoai act already splits halves)
+_ACTS_HALVES = dict(_ACTS, swigluoai=_swigluoai_halves)
+
+
+def gate_up_halves_perm(n2: int):
+    """Column permutation de-interleaving [g0,u0,g1,u1,...] -> [g|u]."""
+    import numpy as np
+
+    return np.concatenate([np.arange(0, n2, 2), np.arange(1, n2, 2)])
+
+
 @register_op("tpu_fused_moe", "moe")
 def tpu_fused_moe(
     hidden_states: jax.Array,      # [T, D]
@@ -475,6 +499,7 @@ def tpu_fused_moe(
     expert_map: Optional[jax.Array] = None,
     gemm1_clamp_limit: Optional[float] = None,
     block_m: int = 128,
+    gate_up_layout: str = "interleaved",
 ) -> jax.Array:
     """The composite MoE forward (reference: XpuFusedMoe.apply →
     remap → grouped_gemm(w13) → [clamp] → act → grouped_gemm(w2) →
@@ -483,6 +508,11 @@ def tpu_fused_moe(
     TPU path: tokens are gathered into the moe_align_block_size layout
     (each M-block belongs to one expert) and both GEMMs run as one Pallas
     grouped kernel each; the weighted un-permute is a segment reduce.
+
+    ``gate_up_layout="halves"``: the caller de-interleaved w13's gate/up
+    columns at load (gate_up_halves_perm) so interleaved-contract
+    activations (swigluoai) run on contiguous half-slices — strided
+    [0::2] gathers are a lane relayout per pass on TPU.
     """
     t, d = hidden_states.shape
     e_local = w13.shape[0]
@@ -493,7 +523,7 @@ def tpu_fused_moe(
         expert_map = init_expert_map(e_local, ep_rank, ep_size)
 
     inter2 = w13.shape[-1]
-    act = _ACTS[activation]
+    act = (_ACTS_HALVES if gate_up_layout == "halves" else _ACTS)[activation]
 
     if use_pallas():
         from vllm_xpu_kernels_tpu.kernels import grouped_matmul as gmm

@@ -58,6 +58,7 @@ def ep_fused_moe(
     strategy: str = "gather",      # gather | a2a
     capacity: Optional[int | str] = None,
     return_dropped: bool = False,
+    gate_up_layout: str = "interleaved",
 ) -> jax.Array:
     """-> [T_local, D]: each token's full MoE output (sum over its top-k
     experts, wherever they live).
@@ -90,7 +91,8 @@ def ep_fused_moe(
             axis, activation=activation, quant=quant,
             w13_scales=w13_scales, w2_scales=w2_scales,
             w13_bias=w13_bias, w2_bias=w2_bias, group_size=group_size,
-            block_m=block_m, capacity=capacity)
+            block_m=block_m, capacity=capacity,
+            gate_up_layout=gate_up_layout)
         return out if return_dropped else out[0]
     from vllm_xpu_kernels_tpu.ops.moe import tpu_fused_moe
 
@@ -112,7 +114,7 @@ def ep_fused_moe(
         w13_scales=w13_scales, w2_scales=w2_scales,
         w13_bias=w13_bias, w2_bias=w2_bias, group_size=group_size,
         num_experts=e_local * ep_size, ep_rank=ep_rank, ep_size=ep_size,
-        block_m=block_m)
+        block_m=block_m, gate_up_layout=gate_up_layout)
 
     # sum partials across ranks, landing each rank's own token shard
     out = jax.lax.psum_scatter(
@@ -126,7 +128,7 @@ def ep_fused_moe(
 def _ep_fused_moe_a2a(
     hidden_states, w13_local, w2_local, topk_weights, topk_ids, axis, *,
     activation, quant, w13_scales, w2_scales, w13_bias, w2_bias,
-    group_size, block_m, capacity,
+    group_size, block_m, capacity, gate_up_layout="interleaved",
 ):
     """All-to-all EP dispatch (see module docstring for the ICI-byte
     accounting).  Runs inside ``shard_map`` on ``axis``.
@@ -197,7 +199,8 @@ def _ep_fused_moe_a2a(
         activation=activation, quant=quant,
         w13_scales=w13_scales, w2_scales=w2_scales,
         w13_bias=w13_bias, w2_bias=w2_bias, group_size=group_size,
-        num_experts=e_local, block_m=block_m).astype(jnp.float32)
+        num_experts=e_local, block_m=block_m,
+        gate_up_layout=gate_up_layout).astype(jnp.float32)
 
     # return contributions to their source ranks; all_to_all restores
     # the send-buffer layout exactly
