@@ -94,8 +94,26 @@ def main():
         return upd.astype(x.dtype)
     sec = bench_op(pstep, pfb, qd)
     nbytes = b * n * (d + 4)  # paged KV stream dominates
-    print(report_row(f"fp8_paged_mqa_logits (B={b}, ctx={n})", sec,
-                     bytes_moved=nbytes, peak_gbps=p["hbm_gbps"]))
+    print(report_row(
+        f"fp8_paged_mqa_logits packed-parity (B={b}, ctx={n})", sec,
+        bytes_moved=nbytes, peak_gbps=p["hbm_gbps"]))
+    # NATIVE structured cache (the serving path: models/deepseek feeds
+    # the (values, scales) pair that indexer_k_quant_and_cache maintains
+    # — no per-call byte-unpack of the packed-parity layout, which costs
+    # a full extra KV read+write+bitcast relayout per call and was the
+    # difference between 37 and ~290 GB/s at 32k ctx on v5e)
+    vals = jnp.asarray(
+        rng.standard_normal((nb, bs, d)) * 0.3, jnp.float8_e4m3fn)
+    scl = jnp.ones((nb, bs, 1), jnp.float32)
+
+    def nstep(x):
+        return ops.fp8_paged_mqa_logits(
+            x, (vals, scl), wts, ctx_lens, tbl, n)
+
+    sec = bench_op(nstep, pfb, qd)
+    print(report_row(
+        f"fp8_paged_mqa_logits native (B={b}, ctx={n})", sec,
+        bytes_moved=nbytes, peak_gbps=p["hbm_gbps"]))
 
 
 if __name__ == "__main__":

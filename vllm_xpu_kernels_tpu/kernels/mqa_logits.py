@@ -26,15 +26,22 @@ Two kernel variants (VXK_MQA_IMPL):
 - ``blockspec``: operand-pipelined pages — step-cost-bound at the
   indexer's tiny pages (8 KB at bs 64): 16-24 GB/s on v5e.
 - ``dma`` (default): grid over sequences, kernel-managed page copies in
-  two ping-pong halves with ONE combined semaphore wait per full round,
+  two ping-pong halves with ONE combined semaphore wait per full round
+  (full rounds issue all R copies under a single branch — the per-page
+  pl.when guards were scalar-core cost on par with the descriptors),
   scales pre-gathered dense and copied one chunk per round, fat staged
-  QK dots, async output chunk writes.  45 GB/s at 32k/128k context on
-  v5e (vs the jnp tier's whole-KV dequant gather, which at 128k context
-  materializes ~0.5 GB and cannot serve).  The remaining gap to the
-  819 GB/s stream roofline is structural: the e4m3 payload must upcast
-  through the VPU bit-trick (~130-150 GB/s equivalent ceiling — same
-  wall as the fp8 GEMM recipes) and each 8-33 KB page costs a DMA
-  issue; fatter serving pages (block_size >= 256) are recommended.
+  QK dots with the per-token scale folded AFTER the relu-weighted head
+  sum (scales are positive, so relu(s·c) == relu(s)·c — one [n, cols]
+  pass instead of [n·h, cols]), async output chunk writes.
+  **289 GB/s on the native (values, scales) cache** at B=32, 32k ctx,
+  bs=256 on v5e (round-4 measurement; the 45 GB/s recorded in round 3
+  was the packed-parity BYTE layout, whose per-call unpack costs a full
+  extra KV read+write+bitcast relayout — serving feeds the structured
+  pair from indexer_k_quant_and_cache and never pays it).  Remaining
+  gap to the 819 GB/s stream roofline: the e4m3 upcast + [32, R·bs] QK
+  dot + relu/weighted-sum VPU chain are core-serial per round (~same
+  wall as the fp8 GEMM recipes); fatter serving pages (block_size >=
+  256) amortize the per-page DMA issue.
 """
 
 from __future__ import annotations
