@@ -31,6 +31,13 @@ def main():
                     choices=["none", "fp8_channel", "w8a8", "mxfp4"])
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke/CI)")
+    ap.add_argument("--gate-up", default="halves",
+                    choices=["interleaved", "halves"],
+                    help="gpt-oss gate/up column layout: 'halves' is the "
+                         "engine's load-time de-interleave (models/"
+                         "gpt_oss._expert_params) — swigluoai then runs "
+                         "on contiguous slices instead of [0::2] strided "
+                         "lane-relayout gathers")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one timed run")
     args = ap.parse_args()
@@ -102,10 +109,22 @@ def main():
     # weights ride in the carry: closed-over device arrays are lowered
     # as inline MLIR constants (a 1.4 GB host round-trip per compile on
     # the tunnel); carried operands stay real arguments.
+    gu_layout = "interleaved"
+    if gpt_oss and args.gate_up == "halves":
+        from vllm_xpu_kernels_tpu.ops.moe import gate_up_halves_perm
+
+        perm = jnp.asarray(gate_up_halves_perm(i2))
+        w13 = jnp.take(w13, perm, axis=-1)
+        if "w13_scales" in kwargs:
+            kwargs["w13_scales"] = jnp.take(kwargs["w13_scales"], perm,
+                                            axis=-1)
+        gu_layout = "halves"
+
     def step(carry):
         x, w13, w2 = carry
         return ops.tpu_fused_moe(x, w13, w2, tw, ti, quant=args.quant,
-                                 activation=act, **kwargs)
+                                 activation=act, gate_up_layout=gu_layout,
+                                 **kwargs)
 
     def fb(y, carry):
         x, w13, w2 = carry

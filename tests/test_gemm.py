@@ -308,3 +308,46 @@ def test_int4_gemm_w4a16_large_m_routing(impl):
 def test_int4_gemm_w4a8_prefill_route(impl):
     """M >= 512 takes the dequant-once bf16-GEMM routing."""
     test_int4_gemm_w4a8(True, impl, m=512)
+
+
+@pytest.mark.parametrize("mode", ["VXK_E4M3_PAIRS", "VXK_E4M3_PLANES"])
+def test_fp8_w8a16_pair_decode_variants(mode, monkeypatch):
+    """The opt-in e4m3 halfword-pair decode paths (interleaved sigma
+    order and the interleave-free planes order) match the default
+    bit-trick path bit-for-bit up to f32 dot accumulation order.  Both
+    LOSE to the byte bit-trick in-GEMM on v5e (369 vs 318/138 GB/s —
+    docs/quant_recipes.md ceiling table); kept as documented probes."""
+    monkeypatch.setenv("VXK_FORCE_PALLAS", "1")
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.standard_normal((16, 256)) * 0.3, jnp.bfloat16)
+    w = jnp.asarray(np.clip(rng.standard_normal((256, 128)) * 8,
+                            -448, 448), jnp.float8_e4m3fn)
+    s = jnp.asarray(rng.random(128).astype(np.float32) * 0.1 + 0.01)
+    base = np.asarray(ops.fp8_gemm_w8a16(a, w, s), np.float32)
+    monkeypatch.setenv(mode, "1")
+    got = np.asarray(ops.fp8_gemm_w8a16(a, w, s), np.float32)
+    assert_allclose(got, base, rtol=1e-3,
+                    atol=1e-3 * max(1.0, np.abs(base).max()))
+
+
+def test_fp8_planes_preperm_matches():
+    """b_preperm contract: weight rows pre-permuted at load by
+    e4m3_planes_block_perm(K, bk) make the in-kernel planes decode emit
+    natural K order with zero runtime reorder."""
+    from vllm_xpu_kernels_tpu.kernels import quant_matmul as qmm
+
+    rng = np.random.default_rng(12)
+    M, K, N = 16, 1024, 128
+    a = jnp.asarray(rng.standard_normal((M, K)) * 0.3, jnp.bfloat16)
+    w = jnp.asarray(np.clip(rng.standard_normal((K, N)) * 8, -448, 448),
+                    jnp.float8_e4m3fn)
+    base = np.asarray(qmm.quant_matmul_pallas(
+        a, w, a_kind="dense", b_kind="fp8", out_dtype=jnp.float32))
+    bk = 512 if K % 512 == 0 else K
+    inv = np.argsort(qmm.e4m3_planes_block_perm(K, bk))
+    wp = w[jnp.asarray(inv)]
+    got = np.asarray(qmm.quant_matmul_pallas(
+        a, wp, a_kind="dense", b_kind="fp8", out_dtype=jnp.float32,
+        b_preperm=True))
+    assert_allclose(got, base, rtol=1e-3,
+                    atol=1e-3 * max(1.0, np.abs(base).max()))

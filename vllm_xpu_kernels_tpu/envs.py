@@ -119,6 +119,13 @@ VXK_ATTN_EXP2 = _register(
     "scale and use the VPU's native pow2 instead of exp).  Numerically "
     "equivalent; disable only for debugging.")
 
+VXK_E4M3_PLANES = _register(
+    "VXK_E4M3_PLANES", _bool, False,
+    "fp8 (e4m3) GEMM weights upcast via the INTERLEAVE-FREE halfword-"
+    "plane assembly (kernels/quant_matmul.e4m3_planes_to_bf16): plane "
+    "row order folds into an activation/weight row permutation instead "
+    "of the in-lane re-interleave that made VXK_E4M3_PAIRS lose.")
+
 VXK_EP_A2A_CF = _register(
     "VXK_EP_A2A_CF", float, 1.25,
     "Capacity factor for the EP all-to-all dispatch's default bucket "

@@ -168,6 +168,61 @@ def e4m3_pairs_to_bf16(raw):
     return pltpu.bitcast((bits & nm) | (fix & ~nm), jnp.bfloat16)
 
 
+def e4m3_planes_to_bf16(raw):
+    """Interleave-free variant of :func:`e4m3_pairs_to_bf16`: the even-
+    and odd-byte planes are emitted as the two sublane HALVES of the
+    output instead of being re-interleaved in-lane (the interleave's
+    mask/shift/or chain was pure overhead — the MXU dot is K-order
+    invariant, so the caller folds the plane order into a row/column
+    permutation, ideally a LOAD-TIME weight row permutation that costs
+    nothing at run time).
+
+    raw: [k, n] e4m3 (k % 4 == 0).  Returns bf16 [k, n]; output row j
+    holds original row ``4*(jj//2) + 2*(jj%2) + (j >= k/2)`` with
+    ``jj = j % (k/2)`` (:func:`e4m3_planes_perm`)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    p32 = pltpu.bitcast(raw, jnp.int32)              # [k/4, n]
+
+    def halves(p):
+        uh = (p32 >> p) & 0x00FF00FF if p else p32 & 0x00FF00FF
+        mag = ((uh & 0x007F007F) << 4) + 0x3C003C00
+        sg = (uh & 0x00800080) << 8
+        t = uh & 0x00780078
+        nm = (((t + 0x00780078) >> 7) & 0x00010001) * 0x0000FFFF
+        return mag | sg, nm
+
+    h_e, nm_e = halves(0)
+    h_o, nm_o = halves(8)
+    bits = jnp.concatenate([h_e, h_o], axis=0)
+    nm = jnp.concatenate([nm_e, nm_o], axis=0)
+    f = pltpu.bitcast(bits, jnp.bfloat16)
+    sign_bits = jnp.int32(0x80008000 - 2 ** 32)
+    sgn = pltpu.bitcast(0x3C803C80 | (bits & sign_bits), jnp.bfloat16)
+    fix = pltpu.bitcast(f * jnp.bfloat16(2.0) - sgn, jnp.int32)
+    return pltpu.bitcast((bits & nm) | (fix & ~nm), jnp.bfloat16)
+
+
+@functools.lru_cache(maxsize=64)
+def e4m3_planes_perm(k_dim: int):
+    """Original row index per output row of :func:`e4m3_planes_to_bf16`."""
+    j = np.arange(k_dim)
+    half = k_dim // 2
+    jj = j % half
+    return 4 * (jj // 2) + 2 * (jj % 2) + (j // half)
+
+
+@functools.lru_cache(maxsize=64)
+def e4m3_planes_block_perm(k_dim: int, bk: int):
+    """Tile-local planes perm expanded over the whole K axis: index i of
+    the PERMUTED stream <- original row; use its argsort to pre-permute
+    stored weight rows so the in-kernel planes decode emits natural
+    order."""
+    tiles = k_dim // bk
+    sig = e4m3_planes_perm(bk)
+    return (np.arange(tiles)[:, None] * bk + sig[None, :]).reshape(-1)
+
+
 @functools.lru_cache(maxsize=64)
 def e4m3_sigma_perm(k_dim: int):
     """Original row index for each output row of
@@ -330,7 +385,13 @@ def _qmm_kernel(spec, *refs):
     mm_dtype = jnp.float32 if spec["mm_f32"] else jnp.bfloat16
     a = _to_mxu_operand(a_ref[...], spec["a_kind"], None, mm_dtype)
     S = spec["b_sub"]
-    if spec.get("b_e4m3_pairs"):
+    if spec.get("b_e4m3_planes"):
+        # interleave-free halfword-pair assembly: plane row order, folded
+        # into a load-time weight row permutation (or the caller's A
+        # column permutation)
+        b = e4m3_planes_to_bf16(b_ref[...]).astype(mm_dtype)
+        b_s_post = b_s_ref
+    elif spec.get("b_e4m3_pairs"):
         # halfword-pair e4m3->bf16 assembly (2 values per i32 lane; the
         # f32 bit-trick widens each byte to a full i32 lane).  Tile rows
         # come out in sigma order — the caller permuted A's columns to
@@ -739,6 +800,10 @@ def quant_matmul_pallas(
     block_m: int = 256,
     block_n: int = 512,
     block_k: int = 512,
+    b_preperm: bool = False,   # B rows pre-permuted at load for the
+    # planes decode (stored = w[argsort(e4m3_planes_block_perm(K, bk))],
+    # so the in-kernel decode emits natural K order) — zero runtime
+    # reorder; selects the planes path unconditionally
 ) -> jax.Array:
     """out[M, N] = dequant(a)[M, K] @ dequant(b)[K, N] (+ bias).
 
@@ -819,13 +884,16 @@ def quant_matmul_pallas(
     # one-time activation column permutation (same pattern as the packed
     # int4 paths).  Constant within a K tile, so group scales are
     # unaffected.
-    from vllm_xpu_kernels_tpu.envs import VXK_E4M3_PAIRS
+    from vllm_xpu_kernels_tpu.envs import VXK_E4M3_PAIRS, VXK_E4M3_PLANES
 
-    b_e4m3_pairs = (VXK_E4M3_PAIRS() and b_kind == "fp8"
-                    and b.dtype == jnp.float8_e4m3fn and b_sub == 1
-                    and not mm_f32 and a_kind == "dense"
-                    and b_zp is None and bk % 4 == 0)
-    if b_e4m3_pairs:
+    pair_ok = (b_kind == "fp8" and b.dtype == jnp.float8_e4m3fn
+               and b_sub == 1 and not mm_f32 and a_kind == "dense"
+               and b_zp is None and bk % 4 == 0)
+    b_e4m3_planes = pair_ok and (VXK_E4M3_PLANES() or b_preperm)
+    b_e4m3_pairs = pair_ok and not b_e4m3_planes and VXK_E4M3_PAIRS()
+    if b_e4m3_planes and not b_preperm:
+        a = jnp.take(a, jnp.asarray(e4m3_planes_block_perm(K, bk)), axis=1)
+    elif b_e4m3_pairs:
         a = jnp.take(a, jnp.asarray(e4m3_block_perm(K, bk)), axis=1)
     operands = [a, b]
     spec = dict(
@@ -838,6 +906,7 @@ def quant_matmul_pallas(
         mm_f32=mm_f32,
         b_sub=b_sub,
         b_e4m3_pairs=b_e4m3_pairs,
+        b_e4m3_planes=b_e4m3_planes,
     )
     # group scales go in as 3-D arrays with a leading group axis stepped by
     # the K grid (block size 1) — Mosaic's last-two-dims tiling rules allow
