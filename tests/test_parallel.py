@@ -596,3 +596,35 @@ def test_ring_attention_window_sink(window, sink):
         sm = sm[..., :-1]
     golden = np.einsum("hqk,khd->qhd", sm, np.asarray(v))
     assert_allclose(out, golden, rtol=1e-4, atol=1e-4)
+
+
+def test_overlap_primitives_exact():
+    """Chunked row-parallel psum and ring all-gather-matmul == their
+    monolithic formulations (the overlap restructure changes only the
+    collective/compute interleaving, never the math)."""
+    from vllm_xpu_kernels_tpu.parallel import (
+        row_parallel_matmul_overlapped, allgather_matmul_overlapped)
+
+    tp = 4
+    t, k, n = 16, 64, 96
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((t, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, n)) * 0.1, jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:tp]), ("tp",))
+
+    # row-parallel: x cols and w rows sharded over tp
+    f = shard_map(
+        lambda xl, wl: row_parallel_matmul_overlapped(xl, wl, "tp", 4),
+        mesh=mesh, in_specs=(P(None, "tp"), P("tp", None)),
+        out_specs=P(), check_rep=False)
+    got = np.asarray(jax.jit(f)(x, w))
+    ref = np.asarray(x) @ np.asarray(w)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    # all-gather-matmul: tokens sharded, weight replicated
+    g = shard_map(
+        lambda xl, wl: allgather_matmul_overlapped(xl, wl, "tp"),
+        mesh=mesh, in_specs=(P("tp", None), P(None, None)),
+        out_specs=P(), check_rep=False)
+    got2 = np.asarray(jax.jit(g)(x, w))
+    np.testing.assert_allclose(got2, ref, rtol=1e-5, atol=1e-5)

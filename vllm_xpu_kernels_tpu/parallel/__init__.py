@@ -24,6 +24,10 @@ from vllm_xpu_kernels_tpu.parallel.context import (  # noqa: F401
 from vllm_xpu_kernels_tpu.parallel.moe import (  # noqa: F401
     ep_fused_moe,
 )
+from vllm_xpu_kernels_tpu.parallel.overlap import (  # noqa: F401
+    allgather_matmul_overlapped,
+    row_parallel_matmul_overlapped,
+)
 from vllm_xpu_kernels_tpu.parallel.pipeline import (  # noqa: F401
     AXIS_PP,
     gpipe_apply,
