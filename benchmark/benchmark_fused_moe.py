@@ -120,28 +120,27 @@ def main():
                                             axis=-1)
         gu_layout = "halves"
 
-    def step(carry):
-        x, w13, w2 = carry
+    def step(x, cs):
+        w13, w2 = cs
         return ops.tpu_fused_moe(x, w13, w2, tw, ti, quant=args.quant,
                                  activation=act, gate_up_layout=gu_layout,
                                  **kwargs)
 
-    def fb(y, carry):
-        x, w13, w2 = carry
-        return (x * 0.999 + y * 1e-3).astype(x.dtype), w13, w2
+    def fb(y, x, cs):
+        return (x * 0.999 + y * 1e-3).astype(x.dtype)
 
-    tsec = bench_op(step, fb, (x, w13, w2))
+    tsec = bench_op(step, fb, x, consts=(w13, w2))
     if args.trace:
         from utils import profile_trace
         import jax as _jax
 
-        loop = _jax.jit(lambda c: fb(step(c), c))
-        c = loop((x, w13, w2))
-        _ = np.asarray(c[0].ravel()[0:1])
+        loop = _jax.jit(lambda xx, cs: fb(step(xx, cs), xx, cs))
+        c = loop(x, (w13, w2))
+        _ = np.asarray(c.ravel()[0:1])
         with profile_trace(args.trace):
             for _i in range(8):
-                c = loop(c)
-            _ = np.asarray(c[0].ravel()[0:1])
+                c = loop(c, (w13, w2))
+            _ = np.asarray(c.ravel()[0:1])
     # tokens route to topk experts; all-expert weight read upper-bounds
     print(report_row(f"fused_moe t={t}", tsec, bytes_moved=wbytes,
                      peak_gbps=p["hbm_gbps"]))

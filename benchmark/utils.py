@@ -16,19 +16,33 @@ import numpy as np
 
 
 def bench_op(step: Callable, feedback: Callable, x0, n_base: int = 10,
-             n_delta: int = 100) -> float:
+             n_delta: int = 100, consts=None) -> float:
     """Median-free differential timing -> seconds per `step` invocation.
 
     ``step(x)`` runs the op; ``feedback(y, x)`` folds the output back into
     a carry of x's shape/dtype so iterations chain (no dead-code
-    elimination)."""
+    elimination).
+
+    ``consts``: loop-invariant device arrays (weights, caches) passed as
+    ``step(x, consts)`` / ``feedback(y, x, consts)``.  They ride as jit
+    ARGUMENTS closed over by the loop body — NOT in the carry (XLA can
+    insert a full defensive copy of every carry element per iteration:
+    a carried 36 MB weight pair measured 1.2 ms/step of pure copy in the
+    fused-MoE bench) and NOT closures (inline MLIR constants round-trip
+    through the tunnel compiler)."""
     import jax
 
     def chain(n):
-        def loop(x):
-            def body(i, x):
-                return feedback(step(x), x)
-            return jax.lax.fori_loop(0, n, body, x)
+        if consts is not None:
+            def loop(x, cs):
+                def body(i, x):
+                    return feedback(step(x, cs), x, cs)
+                return jax.lax.fori_loop(0, n, body, x)
+        else:
+            def loop(x):
+                def body(i, x):
+                    return feedback(step(x), x)
+                return jax.lax.fori_loop(0, n, body, x)
         return jax.jit(loop)
 
     def read_one(out):
@@ -39,13 +53,14 @@ def bench_op(step: Callable, feedback: Callable, x0, n_base: int = 10,
         return np.asarray(leaf.ravel()[0:1])[0]
 
     f_a, f_b = chain(n_base), chain(n_base + n_delta)
+    args = (x0,) if consts is None else (x0, consts)
     for f in (f_a, f_b):
-        _ = read_one(f(x0))
+        _ = read_one(f(*args))
     t0 = time.perf_counter()
-    _ = read_one(f_a(x0))
+    _ = read_one(f_a(*args))
     ta = time.perf_counter() - t0
     t0 = time.perf_counter()
-    _ = read_one(f_b(x0))
+    _ = read_one(f_b(*args))
     tb = time.perf_counter() - t0
     return max((tb - ta) / n_delta, 1e-9)
 
