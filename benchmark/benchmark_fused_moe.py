@@ -91,9 +91,11 @@ def main():
             rng.integers(-128, 128, (e, d // 2, i2), dtype=np.int8))
         w2 = jnp.asarray(
             rng.integers(-128, 128, (e, inter // 2, d), dtype=np.int8))
+        # bf16 pow2 scales — what models/gpt_oss stores (e8m0 scales are
+        # bf16-exact); f32 scale stacks added 99 MB/call of pure stream
         kwargs = dict(
-            w13_scales=jnp.full((e, d // g, i2), 0.25, jnp.float32),
-            w2_scales=jnp.full((e, inter // g, d), 0.25, jnp.float32),
+            w13_scales=jnp.full((e, d // g, i2), 0.25, jnp.bfloat16),
+            w2_scales=jnp.full((e, inter // g, d), 0.25, jnp.bfloat16),
             group_size=g)
         wbytes = w13.size + w2.size
     else:

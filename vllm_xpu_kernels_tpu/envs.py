@@ -119,6 +119,12 @@ VXK_ATTN_EXP2 = _register(
     "scale and use the VPU's native pow2 instead of exp).  Numerically "
     "equivalent; disable only for debugging.")
 
+VXK_PREFILL_BLOCK_Q = _register(
+    "VXK_PREFILL_BLOCK_Q", int, 0,
+    "Override the prefill attention q-tile rows (0 = default 256).  "
+    "Wider tiles amortize the staged online-softmax update further but "
+    "shrink the per-step KV page budget under the same VMEM cap.")
+
 VXK_E4M3_PLANES = _register(
     "VXK_E4M3_PLANES", _bool, False,
     "fp8 (e4m3) GEMM weights upcast via the INTERLEAVE-FREE halfword-"

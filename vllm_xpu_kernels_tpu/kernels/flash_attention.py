@@ -1253,7 +1253,10 @@ def chunk_prefill(
         kv_limit = max_seqlen_k
     g = hq // hkv
     batch = int(cu_seqlens_q.shape[0]) - 1
-    bq = min(block_q, _round_up(max_seqlen_q, 8))
+    from vllm_xpu_kernels_tpu.envs import VXK_PREFILL_BLOCK_Q
+
+    bq = min(VXK_PREFILL_BLOCK_Q() or block_q,
+             _round_up(max_seqlen_q, 8))
     qp = _round_up(max_seqlen_q, bq)
     n_q_tiles = qp // bq
     n_kv_tiles = _cdiv(kv_limit, bkv)

@@ -102,6 +102,7 @@ def _gmm_kernel(spec, ebv_ref, ebf_ref, *refs):
                 a_ref[...], b_ref[0], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
             return
+        s2d = spec.get("s2d", False)
         if packed and native:
             # mxfp4 via the NATIVE e2m1 upcast: one bitcast+astype
             # converts BOTH nibble planes (row-interleaved order — folded
@@ -119,7 +120,8 @@ def _gmm_kernel(spec, ebv_ref, ebf_ref, *refs):
             bn = raw.shape[-1]
             vals = pltpu.bitcast(
                 raw, jnp.float4_e2m1fn).astype(jnp.bfloat16)  # [2pb, bn]
-            sv = s_ref[...].astype(jnp.bfloat16)              # [S, 1, bn]
+            sv = (s_ref[0][:, None, :] if s2d
+                  else s_ref[...]).astype(jnp.bfloat16)       # [S, 1, bn]
             x = (vals.reshape(S, gg, bn) * sv).reshape(2 * raw.shape[0],
                                                        bn)
             a = a_ref[...]
@@ -132,7 +134,8 @@ def _gmm_kernel(spec, ebv_ref, ebf_ref, *refs):
             S = spec["b_sub"]
             raw = b_ref[0]                       # [pb, bn] packed bytes
             bn = raw.shape[-1]
-            s = s_ref[...].astype(jnp.float32)   # [S, 1, bn]
+            s = (s_ref[0][:, None, :] if s2d
+                 else s_ref[...]).astype(jnp.float32)   # [S, 1, bn]
 
             def amx(r):
                 x = r[...]
@@ -372,6 +375,8 @@ def grouped_matmul_pallas(
         has_row_scale=row_scales is not None,
         has_bias=bias is not None,
         bias_first=bias_first,
+        s2d=(scales is not None and packed
+             and (b_sub == K // group_size or b_sub % 8 == 0)),
     )
 
     # Invalid blocks (expert -1) freeze every index map to the LAST VALID
@@ -432,14 +437,29 @@ def grouped_matmul_pallas(
         if packed:
             ng = K // group_size
             assert scales.shape == (e, ng, n), (scales.shape, e, ng, n)
-            s3 = scales.reshape(e * ng, 1, n)
+            if b_sub == ng or b_sub % 8 == 0:
+                # Consume the [E, ng, N] scale stack AS STORED with a
+                # (1, b_sub, bn) block (legal when b_sub spans the whole
+                # group axis or is sublane-aligned).  The old
+                # reshape(e*ng, 1, n) form padded the middle dim-1 to 8
+                # sublanes — a PHYSICAL 8x relayout copy of the whole
+                # scale array per call (~150 us on gpt-oss-20b experts).
+                def s_map3(i, j, k, ebv, ebf):
+                    return (ebf[i], frz(ebv, i, k, nk - 1),
+                            frz(ebv, i, j, nj - 1))
 
-            def s_map(i, j, k, ebv, ebf):
-                return (ebf[i] * (ng // b_sub) + frz(ebv, i, k, nk - 1),
-                        0, frz(ebv, i, j, nj - 1))
+                in_specs.append(pl.BlockSpec((1, b_sub, bn), s_map3))
+                operands.append(scales)
+            else:
+                s3 = scales.reshape(e * ng, 1, n)
 
-            in_specs.append(pl.BlockSpec((b_sub, 1, bn), s_map))
-            operands.append(s3)
+                def s_map(i, j, k, ebv, ebf):
+                    return (ebf[i] * (ng // b_sub)
+                            + frz(ebv, i, k, nk - 1),
+                            0, frz(ebv, i, j, nj - 1))
+
+                in_specs.append(pl.BlockSpec((b_sub, 1, bn), s_map))
+                operands.append(s3)
         else:
             # fp8/w8a8: per-expert scalar or per-channel -> [E, 1, N]
             s = scales.astype(jnp.float32)
