@@ -30,7 +30,7 @@ DECODE_CONFIGS = [
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="decode",
-                    choices=["decode", "prefill"])
+                    choices=["decode", "prefill", "mla-decode"])
     ap.add_argument("--heads", type=int, nargs=2, default=[32, 8])
     ap.add_argument("--head-size", type=int, default=128)
     ap.add_argument("--block-size", type=int, default=128)
@@ -45,6 +45,64 @@ def main():
     hq, hkv = args.heads
     d, bs = args.head_size, args.block_size
     rng = np.random.default_rng(0)
+
+    if args.mode == "mla-decode":
+        # DeepSeek-V3 absorbed-latent decode (reference MLA contract
+        # "up to 576/512", chunk_prefill_kernel.hpp:70 +
+        # test_mla_decode.py): ONE latent KV head, d_qk 576 / d_vo 512,
+        # 128 q heads pre-divided by TP=8 -> 16 per chip.
+        hq, hkv, dq, dv, bs_m = 16, 1, 576, 512, 64
+        B, kv = 32, 4096
+        maxb = -(-kv // bs_m)
+        nb = B * maxb + 1
+        kc = jnp.asarray(rng.standard_normal((nb, bs_m, hkv, dq)) * 0.5,
+                         jnp.bfloat16)
+        vc = jnp.asarray(rng.standard_normal((nb, bs_m, hkv, dv)) * 0.5,
+                         jnp.bfloat16)
+        tbl = jnp.asarray(np.arange(1, B * maxb + 1).reshape(B, maxb),
+                          jnp.int32)
+        used = jnp.full((B,), kv, jnp.int32)
+        cu = jnp.arange(B + 1, dtype=jnp.int32)
+        q = jnp.asarray(rng.standard_normal((B, hq, dq)) * 0.5,
+                        jnp.bfloat16)
+
+        def step(c):
+            return ops.flash_attn_varlen_func(
+                c[0], c[1], c[2], 1, cu, maxb * bs_m, seqused_k=used,
+                block_table=tbl, causal=True, kv_layout="bshd")
+
+        def fb(y, c):
+            pad = jnp.pad(y, ((0, 0), (0, 0), (0, dq - dv)))
+            return ((c[0] * 0.999 + pad * 1e-3).astype(c[0].dtype),
+                    c[1], c[2])
+        t = bench_op(step, fb, (q, kc, vc))
+        kv_bytes = B * kv * hkv * (dq + dv) * 2
+        print(report_row(f"mla-decode 576/512 split bshd (B={B}, kv={kv})",
+                         t, bytes_moved=kv_bytes, peak_gbps=p["hbm_gbps"]))
+
+        # padded fused pages [K(576) | V(512) | zeros] in 1152 lanes:
+        # one DMA per page on the dma kernel's padded-q path
+        wpad = 1152
+        fused = np.zeros((nb, hkv, bs_m, wpad), np.float32)
+        fused[..., :dq] = np.asarray(kc, np.float32).transpose(0, 2, 1, 3)
+        fused[..., dq:dq + dv] = np.asarray(vc, np.float32).transpose(
+            0, 2, 1, 3)
+        fj = jnp.asarray(fused, jnp.bfloat16)
+
+        def stepf(x, cs):
+            return ops.flash_attn_varlen_func(
+                x, cs, None, 1, cu, maxb * bs_m, seqused_k=used,
+                block_table=tbl, causal=True, kv_layout="fused",
+                v_head_dim=dv)
+
+        def fbf(y, x, cs):
+            pad = jnp.pad(y, ((0, 0), (0, 0), (0, dq - dv)))
+            return (x * 0.999 + pad * 1e-3).astype(x.dtype)
+        t = bench_op(stepf, fbf, q, consts=fj)
+        print(report_row(
+            f"mla-decode 576/512 fused pages (B={B}, kv={kv})", t,
+            bytes_moved=kv_bytes, peak_gbps=p["hbm_gbps"]))
+        return
 
     for name, kv_lens in DECODE_CONFIGS:
         B = len(kv_lens)

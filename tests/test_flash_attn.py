@@ -532,3 +532,34 @@ def test_prefill_fused_kv(d, impl):
     golden, _ = np_ref_attn(qf, kv_lens, q_lens, keys_, vals_, scale,
                             causal=True)
     assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("hs_qk,hs_vo,wpad", [(576, 512, 1152), (64, 64, 128)])
+def test_decode_mla_padded_fused(hs_qk, hs_vo, wpad, impl):
+    """Absorbed-latent MLA decode on PADDED fused pages
+    ([K(576) | V(512) | zeros] in 1152 lanes, v_head_dim explicit):
+    one DMA per page on the dma kernel's padded-q path == the split
+    bshd layout.  The 64/64 case pins the existing half-lane pages
+    through the same code path."""
+    seq_lens = [(1, 130), (1, 37)]
+    qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \
+        make_paged(seq_lens, (8, 1), hs_qk, hs_vo, 16, 64, jnp.bfloat16,
+                   seed=21)
+    scale = hs_qk ** -0.5
+    ref = ops.flash_attn_varlen_func(
+        qj, kj, vj, 1, cu_q, max(kv_lens),
+        seqused_k=used_k, block_table=tbl, causal=True, softmax_scale=scale)
+    # build the padded fused cache [nb, hkv, bs, wpad]
+    k_b = np.asarray(kj).transpose(0, 2, 1, 3)     # bshd -> bhsd
+    v_b = np.asarray(vj).transpose(0, 2, 1, 3)
+    nb, hkv, bs = k_b.shape[:3]
+    fused = np.zeros((nb, hkv, bs, wpad), np.float32)
+    fused[..., :hs_qk] = k_b
+    fused[..., hs_qk:hs_qk + hs_vo] = v_b
+    out = ops.flash_attn_varlen_func(
+        qj, jnp.asarray(fused, jnp.bfloat16), None, 1, cu_q, max(kv_lens),
+        seqused_k=used_k, block_table=tbl, causal=True,
+        softmax_scale=scale, kv_layout="fused", v_head_dim=hs_vo)
+    assert out.shape == (2, 8, hs_vo)
+    assert_allclose(np.asarray(out, np.float32),
+                    np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2)

@@ -561,7 +561,7 @@ def _decode_kernel_dma(
 def _paged_decode_dma(
     q, k_cache, v_cache, seqused_k, block_table, *,
     scale, window, softcap, sink, k_descale, v_descale, max_seqlen_k,
-    fresh_kv=None, fresh_slots=None, out_quant=False,
+    fresh_kv=None, fresh_slots=None, out_quant=False, v_head_dim=None,
 ):
     """Sequence-grid decode with kernel-managed page DMAs.
     ``v_cache=None`` selects the fused layout: ``k_cache`` is
@@ -584,7 +584,11 @@ def _paged_decode_dma(
     fused = v_cache is None
     b_, hq, d = q.shape
     nb, hkv, bs, _ = k_cache.shape
-    dv = (k_cache.shape[-1] - d) if fused else v_cache.shape[-1]
+    if v_head_dim is not None and fused:
+        dv = v_head_dim
+    else:
+        dv = (k_cache.shape[-1] - d) if fused else v_cache.shape[-1]
+    W = k_cache.shape[-1] if fused else d + dv  # physical page lane width
     g = hq // hkv
     n_tiles = _cdiv(min(max_seqlen_k, nb * bs), bs)
     depth = max(1, min(VXK_DECODE_DMA_DEPTH(), n_tiles))
@@ -598,14 +602,16 @@ def _paged_decode_dma(
         stage = 1
 
     q4 = q.reshape(b_, hkv, g, d)
-    # half-lane fused pages (d == dv == 64): whole [.., 128] pages serve
-    # as both K and V; q zero-pads over the V half (exact QK contract),
-    # the accumulator runs 128-wide and the caller slices off the K half
-    qpad_mode = fused and d % 128 != 0
-    dq = d + dv if qpad_mode else d
-    dvk = d + dv if qpad_mode else dv
+    # padded-q mode: whole [.., W] pages serve as both K and V; q
+    # zero-pads over the V (and lane-pad) half so QK contracts exactly,
+    # the accumulator runs W-wide and the caller slices out [d : d+dv].
+    # Covers half-lane fused pages (d == dv == 64, W 128) and padded MLA
+    # absorbed-latent pages (576/512 in W 1152).
+    qpad_mode = fused and (d % 128 != 0 or d + dv != W)
+    dq = W if qpad_mode else d
+    dvk = W if qpad_mode else dv
     if qpad_mode:
-        q4 = jnp.pad(q4, ((0, 0),) * 3 + ((0, dv),))
+        q4 = jnp.pad(q4, ((0, 0),) * 3 + ((0, W - d),))
     exp_spec, sink_arr = _exp_consts(scale, softcap, sink, hkv, g)
     desc = jnp.stack([
         jnp.asarray(1.0 if k_descale is None else k_descale,
@@ -616,6 +622,8 @@ def _paged_decode_dma(
 
     fresh = fresh_kv is not None
     assert not fresh or fused, "fresh_kv requires the fused page layout"
+    assert not fresh or d + dv == W, (
+        "fresh_kv rows are [Hkv, Dk+Dv]; padded MLA pages scatter first")
     wb = fresh and fresh_slots is not None and bs % 8 == 0
     spec = dict(
         bs=bs, stage=stage,
@@ -628,14 +636,14 @@ def _paged_decode_dma(
     cache_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (1 if fused else 2)
     fresh_specs, fresh_in = [], ()
     if fused:
-        bufs = [pltpu.VMEM((depth, hkv, bs, d + dv), k_cache.dtype)]
+        bufs = [pltpu.VMEM((depth, hkv, bs, W), k_cache.dtype)]
         sems = [pltpu.SemaphoreType.DMA((depth,))]
         if fresh:
             assert fresh_kv.dtype == k_cache.dtype, (
                 "fresh_kv must be pre-quantized to the cache dtype")
-            fresh_specs = [pl.BlockSpec((1, hkv, 1, d + dv),
+            fresh_specs = [pl.BlockSpec((1, hkv, 1, W),
                                         lambda b, *_: (b, 0, 0, 0))]
-            fresh_in = (fresh_kv.reshape(b_, hkv, 1, d + dv),)
+            fresh_in = (fresh_kv.reshape(b_, hkv, 1, W),)
     else:
         bufs = [pltpu.VMEM((depth, hkv, bs, d), k_cache.dtype),
                 pltpu.VMEM((depth, hkv, bs, dv), v_cache.dtype)]
@@ -667,7 +675,7 @@ def _paged_decode_dma(
         pltpu.VMEM((hkv, g, dvk), jnp.float32),
     ]
     if wb:
-        scratch.append(pltpu.VMEM((hkv, 8, d + dv), k_cache.dtype))
+        scratch.append(pltpu.VMEM((hkv, 8, W), k_cache.dtype))
     scratch += sems
     if wb:
         scratch.append(pltpu.SemaphoreType.DMA)
@@ -706,6 +714,7 @@ def _paged_decode_split(
     q, k_cache, v_cache, seqused_k, block_table, *,
     num_splits, scale, softcap, sink, k_descale, v_descale,
     max_seqlen_k, pages_per_step, fresh_kv, fresh_slots, out_quant,
+    v_head_dim=None,
 ):
     """Split-KV decode: S contiguous page-range splits per sequence run
     as a virtual batch of B*S sequences through the unsplit kernel; the
@@ -716,7 +725,10 @@ def _paged_decode_split(
     cache.  Exact: matches the unsplit kernel to accumulation order."""
     b_, hq, d = q.shape
     bs = k_cache.shape[2]
-    dv = (k_cache.shape[-1] - d) if v_cache is None else v_cache.shape[-1]
+    if v_head_dim is not None and v_cache is None:
+        dv = v_head_dim
+    else:
+        dv = (k_cache.shape[-1] - d) if v_cache is None else v_cache.shape[-1]
     mb = block_table.shape[1]
     s_ = max(2, min(int(num_splits), mb))
     p_ = _cdiv(mb, s_)
@@ -739,7 +751,7 @@ def _paged_decode_split(
         window=(-1, -1), softcap=softcap, sink=None,
         k_descale=k_descale, v_descale=v_descale,
         max_seqlen_k=min(max_seqlen_k, p_ * bs),
-        pages_per_step=pages_per_step)
+        pages_per_step=pages_per_step, v_head_dim=v_head_dim)
     # merge the S partials per sequence (lse is [Hq, B*S], natural-log
     # domain in every exp mode; empty splits carry lse ~ -1e30, out = 0)
     lse_b = lse_s.reshape(hq, b_, s_)
@@ -781,6 +793,7 @@ def paged_decode(
     fresh_kv: Optional[jax.Array] = None,
     fresh_slots: Optional[jax.Array] = None,
     out_quant: bool = False,
+    v_head_dim: Optional[int] = None,
 ):
     """-> (out [B, Hq, Dv], lse [Hq, B][, out_scale][, new kv_cache]).
 
@@ -788,6 +801,13 @@ def paged_decode(
     [nb, Hkv, bs, Dk+Dv]): the dma impl copies each page with ONE async
     DMA; the pipelined impl reads K/V as two last-dim blocks of the same
     array (requires Dk == Dv).
+
+    ``v_head_dim``: explicit Dv for fused pages whose lane width exceeds
+    Dk+Dv (lane-padding).  The MLA absorbed-latent decode shape (qk 576 /
+    vo 512, DeepSeek-V3) stores [K(576) | V(512) | zeros(64)] in
+    1152-lane pages: one DMA per page on the dma kernel via the padded-q
+    path, vs per-page BlockSpec costs on the split layout (measured 288
+    -> ~2x GB/s at B=32, kv 4096 on v5e).
 
     ``fresh_kv`` (fused layout only): [B, Hkv, Dk+Dv] quantized
     current-token row, ``seqused_k`` counting it, written at cache slot
@@ -810,7 +830,12 @@ def paged_decode(
     fused = v_cache is None
     b_, hq, d = q.shape
     nb, hkv, bs, _ = k_cache.shape
-    dv = (k_cache.shape[-1] - d) if fused else v_cache.shape[-1]
+    if v_head_dim is not None:
+        assert fused, "v_head_dim is a fused-page-layout parameter"
+        dv = v_head_dim
+    else:
+        dv = (k_cache.shape[-1] - d) if fused else v_cache.shape[-1]
+    W = k_cache.shape[-1] if fused else None   # physical page lane width
     g = hq // hkv
     if (num_splits_kv and num_splits_kv > 1 and window[0] < 0
             and block_table.shape[1] > 1):
@@ -825,11 +850,12 @@ def paged_decode(
             sink=sink, k_descale=k_descale, v_descale=v_descale,
             max_seqlen_k=max_seqlen_k, pages_per_step=pages_per_step,
             fresh_kv=fresh_kv, fresh_slots=fresh_slots,
-            out_quant=out_quant)
+            out_quant=out_quant, v_head_dim=v_head_dim)
     if fused:
-        assert d == dv and (d + dv) % 128 == 0, (
-            "fused KV pages need a lane-aligned total width; "
-            "d == dv == 64 half-lane pages run via the padded-q path")
+        assert W % 128 == 0 and d + dv <= W, (
+            "fused KV pages need a lane-aligned physical width; "
+            "d == dv == 64 half-lane pages and MLA 576/512 (padded to "
+            "1152) run via the padded-q path")
     assert fresh_kv is None or fused, \
         "fresh_kv requires the fused page layout"
 
@@ -841,7 +867,7 @@ def paged_decode(
     # kernel.  Exotic head sizes (MLA 192/576, tiny test heads) take the
     # pipelined kernel.
     dma_ok = (((d % 128 == 0 and dv % 128 == 0)
-               or (fused and (d + dv) % 128 == 0))
+               or (fused and W % 128 == 0))
               and bs % 8 == 0)
     if dma_ok and VXK_DECODE_IMPL() == "dma" and pages_per_step is None:
         oq = out_quant and fresh_kv is None   # fresh merges post-kernel
@@ -850,9 +876,9 @@ def paged_decode(
             window=window, softcap=softcap, sink=sink, k_descale=k_descale,
             v_descale=v_descale, max_seqlen_k=max_seqlen_k,
             fresh_kv=fresh_kv, fresh_slots=fresh_slots,
-            out_quant=oq)
-        if fused and d % 128 != 0:
-            out4 = out4[..., d:]             # discard the qpad K half
+            out_quant=oq, v_head_dim=dv)
+        if fused and (d % 128 != 0 or d + dv != W):
+            out4 = out4[..., d:d + dv]       # discard qpad K half + pad
         out = out4.reshape(b_, hq, dv)
         lse = lse4.reshape(b_, hq).T
         if fresh_kv is not None:
@@ -939,11 +965,11 @@ def paged_decode(
                     jnp.float32).reshape(()),
     ]).reshape(1, 2)
 
-    half_fused = fused and d % 128 != 0
-    dq = d + dv if half_fused else d
-    dvk = d + dv if half_fused else dv
+    half_fused = fused and (d % 128 != 0 or d + dv != W)
+    dq = W if half_fused else d
+    dvk = W if half_fused else dv
     if half_fused:
-        q4 = jnp.pad(q4, ((0, 0),) * 3 + ((0, dv),))
+        q4 = jnp.pad(q4, ((0, 0),) * 3 + ((0, W - d),))
     spec = dict(
         bs=bs, g=g, hkv=hkv, qpad=half_fused,
         window_left=int(window[0]), has_sink=sink is not None,
@@ -1013,7 +1039,7 @@ def paged_decode(
     )(seqused_k.astype(jnp.int32), block_table.astype(jnp.int32),
       sink_arr, desc, q4, *([k_cache] * pp), *v_ins)
     if half_fused:
-        out = out[..., d:]                       # discard the K half
+        out = out[..., d:d + dv]   # discard the K half (and lane pad)
     return out.reshape(b_, hq, dv), lse4.reshape(b_, hq).T
 
 
@@ -1213,7 +1239,11 @@ def chunk_prefill(
     softcap: float,
     sink: Optional[jax.Array],
     k_descale, v_descale,
-    block_q: int = 256,
+    # 512-row q tiles halve the staged-softmax update count vs 256
+    # (TTFT 283.3 -> 278.7 ms, prefill 14.5k -> 14.7k tok/s at w8a8
+    # 4x1024; the wider tile shrinks pages-per-step under the same
+    # VMEM cap, which nets positive).  VXK_PREFILL_BLOCK_Q overrides.
+    block_q: int = 512,
     causal_offsets: Optional[jax.Array] = None,
 ):
     """-> (out [total_q, Hq, Dv], lse [Hq, total_q]).

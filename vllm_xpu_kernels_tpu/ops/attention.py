@@ -246,6 +246,7 @@ def flash_attn_varlen_func(
     fresh_kv: Optional[jax.Array] = None,     # [B, Hkv, Dk+Dv] new-token row
     fresh_slots: Optional[jax.Array] = None,  # [B] cache slots (<0 = skip)
     out_quant: bool = False,                  # fused int8 output quant
+    v_head_dim: Optional[int] = None,         # fused pages: explicit Dv
 ):
     """Varlen flash attention with optional paged KV — the reference's
     single public attention entry (flash_attn_interface.py:284,
@@ -274,6 +275,12 @@ def flash_attn_varlen_func(
     per-token [total_q] f32 quant scale and ``out`` is int8 when the
     fused epilogue ran, or ``(out_bf16, None)`` when the executing path
     cannot fuse (caller quantizes itself).
+
+    ``v_head_dim`` (fused layout): explicit Dv when the page lane width
+    exceeds Dk+Dv — the MLA absorbed-latent layout stores
+    [K(576) | V(512) | zero pad] in 1152-lane pages so decode takes the
+    one-DMA-per-page kernel.  Pad lanes must be kept zero (zero-init +
+    row writes that only touch [: Dk+Dv]).
     """
     assert (cu_seqlens_k is None) != (seqused_k is None), (
         "provide exactly one of cu_seqlens_k / seqused_k")
@@ -315,7 +322,7 @@ def flash_attn_varlen_func(
                 max_seqlen_k=max_seqlen_k,
                 num_splits_kv=num_splits_kv or 0,
                 fresh_kv=fresh_kv, fresh_slots=fresh_slots,
-                out_quant=out_quant,
+                out_quant=out_quant, v_head_dim=v_head_dim,
             ))
             out, lse = res.pop(0), res.pop(0)
             # paged_decode emits [out, lse, scale (only when the fused
@@ -333,6 +340,12 @@ def flash_attn_varlen_func(
             if return_softmax_lse:
                 return out, lse
             return out
+        if kv_layout == "fused" and v_head_dim is not None:
+            # padded MLA pages: the chunk-prefill kernel wants split
+            # K/V (one XLA slice each; absorbed-latent PREFILL is the
+            # rare path — decode is what the padded layout serves)
+            d_ = q.shape[-1]
+            k, v = k[..., :d_], k[..., d_:d_ + v_head_dim]
         out, lse = fa.chunk_prefill(
             q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_k, block_table,
             max_seqlen_q=max_seqlen_q, max_seqlen_k=max_seqlen_k,
@@ -358,7 +371,8 @@ def flash_attn_varlen_func(
         new_cache = k
     if paged and kv_layout == "fused":
         d = q.shape[-1]
-        k, v = k[..., :d], k[..., d:]
+        dv_ = v_head_dim or (k.shape[-1] - d)
+        k, v = k[..., :d], k[..., d:d + dv_]
         kv_layout = "bhsd"
     if paged and kv_layout == "bhsd":
         k = k.transpose(0, 2, 1, 3)   # -> bshd for the padded gather
