@@ -218,6 +218,44 @@ def test_deepseek_decode():
     assert vc[0].shape[-1] == cfg.v_head_dim
 
 
+def test_deepseek_absorbed_decode_matches_expanded():
+    """Weight-absorbed latent MLA decode (one [c_kv | k_pe] row per
+    token, V overlapping K's first r lanes on the padded-fused kernel)
+    == the expanded per-head cache path, same weights — the DeepSeek-V3
+    serving mode over the reference's "up to 576/512" MLA contract."""
+    from vllm_xpu_kernels_tpu.models import deepseek as DS
+
+    kw = dict(
+        hidden_size=128, num_layers=2, num_q_heads=4, num_kv_heads=4,
+        qk_nope_dim=32, qk_rope_dim=16, v_head_dim=32, kv_lora_rank=64,
+        vocab_size=128, max_position=64, block_size=16,
+        num_experts=16, num_shared_experts=1, top_k=4, n_group=4,
+        topk_group=2, moe_intermediate=64, head_dim=48,
+        intermediate_size=64)
+    b = 2
+    tok = jnp.asarray([3, 7], jnp.int32)
+    kv_lens = jnp.full((b,), 9, jnp.int32)
+    positions = kv_lens - 1
+    tbl = jnp.asarray(np.arange(b * 2).reshape(b, 2), jnp.int32)
+    slots = (tbl[:, 0] * 16 + 8).astype(jnp.int32)
+
+    outs = {}
+    params = DS.init_params(DS.DeepSeekConfig(**kw), jax.random.PRNGKey(5))
+    for absorbed in (False, True):
+        cfg = DS.DeepSeekConfig(absorbed=absorbed, **kw)
+        kc, vc = DS.init_kv_cache(cfg, 16)
+        logits, kc, vc = DS.decode_step(
+            cfg, params, tok, positions, slots, tbl, kv_lens, kc, vc,
+            max_seqlen_k=32)
+        outs[absorbed] = np.asarray(logits, np.float32)
+        if absorbed:
+            assert vc[0] is None
+            assert kc[0].shape == (16, 1, 16, 128)   # one padded latent
+    assert np.isfinite(outs[True]).all()
+    assert_allclose(outs[True], outs[False], rtol=3e-2,
+                    atol=3e-2 * max(1.0, np.abs(outs[False]).max()))
+
+
 def test_mixtral_w8a8_decode():
     """w8a8 Mixtral: int8 expert weights through the native-s8 grouped
     GEMM, int8 attention linears, finite logits near the bf16 model."""

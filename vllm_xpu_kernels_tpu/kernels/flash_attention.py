@@ -562,6 +562,7 @@ def _paged_decode_dma(
     q, k_cache, v_cache, seqused_k, block_table, *,
     scale, window, softcap, sink, k_descale, v_descale, max_seqlen_k,
     fresh_kv=None, fresh_slots=None, out_quant=False, v_head_dim=None,
+    v_lane_offset=None,
 ):
     """Sequence-grid decode with kernel-managed page DMAs.
     ``v_cache=None`` selects the fused layout: ``k_cache`` is
@@ -607,7 +608,8 @@ def _paged_decode_dma(
     # the accumulator runs W-wide and the caller slices out [d : d+dv].
     # Covers half-lane fused pages (d == dv == 64, W 128) and padded MLA
     # absorbed-latent pages (576/512 in W 1152).
-    qpad_mode = fused and (d % 128 != 0 or d + dv != W)
+    qpad_mode = fused and (d % 128 != 0 or d + dv != W
+                           or v_lane_offset is not None)
     dq = W if qpad_mode else d
     dvk = W if qpad_mode else dv
     if qpad_mode:
@@ -794,6 +796,7 @@ def paged_decode(
     fresh_slots: Optional[jax.Array] = None,
     out_quant: bool = False,
     v_head_dim: Optional[int] = None,
+    v_lane_offset: Optional[int] = None,
 ):
     """-> (out [B, Hq, Dv], lse [Hq, B][, out_scale][, new kv_cache]).
 
@@ -808,6 +811,12 @@ def paged_decode(
     1152-lane pages: one DMA per page on the dma kernel via the padded-q
     path, vs per-page BlockSpec costs on the split layout (measured 288
     -> ~2x GB/s at B=32, kv 4096 on v5e).
+
+    ``v_lane_offset``: lane where V starts in the fused page (default
+    Dk).  The ABSORBED MLA latent layout sets it to 0: a page row is
+    [c_kv(512) | k_pe(64) | pad] where K is all 576 payload lanes and V
+    is the FIRST 512 (V overlaps K — the padded-q kernel computes PV
+    over the whole page width anyway; only the output slice moves).
 
     ``fresh_kv`` (fused layout only): [B, Hkv, Dk+Dv] quantized
     current-token row, ``seqused_k`` counting it, written at cache slot
@@ -838,6 +847,7 @@ def paged_decode(
     W = k_cache.shape[-1] if fused else None   # physical page lane width
     g = hq // hkv
     if (num_splits_kv and num_splits_kv > 1 and window[0] < 0
+            and v_lane_offset is None
             and block_table.shape[1] > 1):
         # Honored split-KV (reference ReduceSplitK,
         # paged_decode_kernel.hpp:67 + docs/group_split_kv_design.md):
@@ -851,8 +861,11 @@ def paged_decode(
             max_seqlen_k=max_seqlen_k, pages_per_step=pages_per_step,
             fresh_kv=fresh_kv, fresh_slots=fresh_slots,
             out_quant=out_quant, v_head_dim=v_head_dim)
+    assert v_lane_offset is None or v_lane_offset + dv <= (W or 0), (
+        "v_lane_offset must address lanes inside the fused page")
     if fused:
-        assert W % 128 == 0 and d + dv <= W, (
+        assert W % 128 == 0 and max(d, (0 if v_lane_offset is None
+                                        else v_lane_offset) + dv) <= W, (
             "fused KV pages need a lane-aligned physical width; "
             "d == dv == 64 half-lane pages and MLA 576/512 (padded to "
             "1152) run via the padded-q path")
@@ -876,9 +889,11 @@ def paged_decode(
             window=window, softcap=softcap, sink=sink, k_descale=k_descale,
             v_descale=v_descale, max_seqlen_k=max_seqlen_k,
             fresh_kv=fresh_kv, fresh_slots=fresh_slots,
-            out_quant=oq, v_head_dim=dv)
-        if fused and (d % 128 != 0 or d + dv != W):
-            out4 = out4[..., d:d + dv]       # discard qpad K half + pad
+            out_quant=oq, v_head_dim=dv, v_lane_offset=v_lane_offset)
+        if fused and (d % 128 != 0 or d + dv != W
+                      or v_lane_offset is not None):
+            vo = d if v_lane_offset is None else v_lane_offset
+            out4 = out4[..., vo:vo + dv]     # qpad: slice the V lanes
         out = out4.reshape(b_, hq, dv)
         lse = lse4.reshape(b_, hq).T
         if fresh_kv is not None:
@@ -928,6 +943,10 @@ def paged_decode(
                     k_cache, fresh_kv, fresh_slots)
             res.append(new_cache)
         return tuple(res)
+    assert v_lane_offset is None or (
+        dma_ok and VXK_DECODE_IMPL() == "dma" and pages_per_step is None), (
+        "v_lane_offset (absorbed MLA latent pages) requires the dma "
+        "decode kernel path")
     if fresh_kv is not None:
         # pipelined kernel / exotic shapes: scatter the fresh row first
         # (the reference ordering), then attend over the full length.

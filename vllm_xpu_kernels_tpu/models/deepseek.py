@@ -48,6 +48,13 @@ class DeepSeekConfig(L.LlamaConfig):
     index_topk: int = 0
     index_n_heads: int = 8
     index_head_dim: int = 64
+    # weight-absorbed latent decode (DeepSeek-V3 serving mode): the
+    # paged cache holds ONE latent row [c_kv(r) | k_pe(rope)] per token
+    # (H-fold smaller than the expanded cache) and decode attention runs
+    # at the absorbed 576/512 shape (q' = [q_nope @ W_uk | q_rope],
+    # V = the c_kv half of the page) on the padded-fused dma kernel
+    # (ops.flash_attn_varlen_func v_head_dim/v_lane_offset).
+    absorbed: bool = False
 
     @property
     def qk_head_dim(self):
@@ -109,12 +116,76 @@ def init_params(cfg: DeepSeekConfig, key=None):
 
 
 def init_kv_cache(cfg: DeepSeekConfig, num_blocks: int):
-    """Expanded MLA caches: K [nb, H, bs, qk_head_dim], V [nb, H, bs, dv]."""
+    """Expanded MLA caches: K [nb, H, bs, qk_head_dim], V [nb, H, bs, dv].
+
+    ``cfg.absorbed``: ONE latent page stack per layer instead —
+    [nb, 1, bs, Wpad] rows [c_kv(r) | k_pe(rope) | zero pad], Wpad
+    lane-aligned; the v list is all-None (fused-layout convention).
+    Cache bytes per token: Wpad vs H*(qk_head_dim + v_head_dim) — 8x
+    smaller at the test config, 64x at DeepSeek-V3's H=128."""
+    if cfg.absorbed:
+        w = cfg.kv_lora_rank + cfg.qk_rope_dim
+        wpad = -(-w // 128) * 128
+        shape = (num_blocks, 1, cfg.block_size, wpad)
+        ks = [jnp.zeros(shape, cfg.jdtype) for _ in range(cfg.num_layers)]
+        return ks, [None] * cfg.num_layers
     kshape = (num_blocks, cfg.num_q_heads, cfg.block_size, cfg.qk_head_dim)
     vshape = (num_blocks, cfg.num_q_heads, cfg.block_size, cfg.v_head_dim)
     ks = [jnp.zeros(kshape, cfg.jdtype) for _ in range(cfg.num_layers)]
     vs = [jnp.zeros(vshape, cfg.jdtype) for _ in range(cfg.num_layers)]
     return ks, vs
+
+
+def _mla_attention_absorbed(cfg, lp, x, positions, rope, kc_l, slot_mapping,
+                            block_table, kv_lens, cu_q, max_k):
+    """Weight-absorbed latent MLA decode (the DeepSeek-V3 serving mode;
+    reference contract: the chunk-prefill kernel's "up to 576/512" MLA
+    shapes, chunk_prefill_kernel.hpp:70, exercised by test_mla_decode).
+
+    score(q, k) = q_nope . (W_uk^T c_kv) + q_rope . k_pe
+                = (W_uk q_nope) . c_kv + q_rope . k_pe       (absorption)
+    out        = softmax . c_kv, then per-head W_uv           (V = c_kv)
+
+    so the paged cache stores ONE [c_kv | k_pe] latent row per token and
+    attention runs as 1-kv-head MQA at d_qk = r + rope, d_v = r with V
+    overlapping K's first r lanes (v_lane_offset = 0).  Exact same
+    logits as the expanded path up to bf16 matmul rounding."""
+    t = x.shape[0]
+    h = cfg.num_q_heads
+    r, rnope, rrope = cfg.kv_lora_rank, cfg.qk_nope_dim, cfg.qk_rope_dim
+    dv = cfg.v_head_dim
+    wpad = kc_l.shape[-1]
+    q = (x @ lp["wq"].astype(x.dtype)).reshape(t, h, cfg.qk_head_dim)
+    ckv = x @ lp["w_dkv"].astype(x.dtype)
+    c_kv = ops.rms_norm(ckv[:, :r], lp["kv_ln"], cfg.rms_eps)
+    k_pe = ckv[:, r:]
+    q_rope, k_pe = ops.deepseek_scaling_rope(
+        positions, q[..., rnope:], k_pe.reshape(t, 1, rrope),
+        rope, rrope, True)
+    # absorb W_uk into q: q_abs[t,h,r] = sum_d q_nope[t,h,d] W_uk[r,h,d]
+    w_uk = lp["w_uk"].reshape(r, h, rnope)
+    q_abs = jnp.einsum("thd,rhd->thr", q[..., :rnope].astype(jnp.float32),
+                       w_uk.astype(jnp.float32),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+    q_lat = jnp.concatenate([q_abs, q_rope.reshape(t, h, rrope)], -1)
+    # latent cache row [c_kv | k_pe], zero-padded to the page lane width
+    row_k = jnp.concatenate([c_kv, k_pe.reshape(t, rrope)], -1)
+    kc_l = ops.reshape_and_cache_tpu_fused(
+        row_k.reshape(t, 1, r + rrope),
+        jnp.zeros((t, 1, wpad - r - rrope), row_k.dtype),
+        kc_l, slot_mapping)
+    attn = ops.flash_attn_varlen_func(
+        q_lat, kc_l, None, 1, cu_q, max_k,
+        seqused_k=kv_lens, block_table=block_table, causal=True,
+        kv_layout="fused", softmax_scale=cfg.qk_head_dim ** -0.5,
+        v_head_dim=r, v_lane_offset=0)                    # [t, h, r]
+    # un-absorb: per-head W_uv projects the attended latent to v space
+    w_uv = lp["w_uv"].reshape(r, h, dv)
+    o = jnp.einsum("thr,rhd->thd", attn.astype(jnp.float32),
+                   w_uv.astype(jnp.float32),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    out = o.reshape(t, h * dv) @ lp["wo"].astype(x.dtype)
+    return out.astype(x.dtype), kc_l
 
 
 def init_indexer_cache(cfg: DeepSeekConfig, num_blocks: int):
@@ -239,6 +310,8 @@ def decode_step(cfg: DeepSeekConfig, params, token_ids, positions,
     sparse = cfg.index_topk > 0
     assert not sparse or idx_cache is not None, \
         "index_topk > 0 requires idx_cache (init_indexer_cache)"
+    assert not (sparse and cfg.absorbed), \
+        "DSA sparse decode composes with the expanded cache layout"
     b = token_ids.shape[0]
     cu_q = jnp.arange(b + 1, dtype=jnp.int32)
     x = jnp.take(params["embed"], token_ids, axis=0)
@@ -249,10 +322,16 @@ def decode_step(cfg: DeepSeekConfig, params, token_ids, positions,
     for li, lp in enumerate(params["layers"]):
         h, residual = ops.fused_add_rms_norm(
             x, residual, lp["ln1"], cfg.rms_eps)
-        attn, kc_l, vc_l, ic_l = _mla_attention(
-            cfg, lp, h, positions, rope, k_cache[li], v_cache[li],
-            slot_mapping, block_table, kv_lens, cu_q, 1, max_seqlen_k,
-            ic_l=idx_cache[li] if sparse else None)
+        if cfg.absorbed:
+            attn, kc_l = _mla_attention_absorbed(
+                cfg, lp, h, positions, rope, k_cache[li], slot_mapping,
+                block_table, kv_lens, cu_q, max_seqlen_k)
+            vc_l, ic_l = None, None
+        else:
+            attn, kc_l, vc_l, ic_l = _mla_attention(
+                cfg, lp, h, positions, rope, k_cache[li], v_cache[li],
+                slot_mapping, block_table, kv_lens, cu_q, 1, max_seqlen_k,
+                ic_l=idx_cache[li] if sparse else None)
         h2, residual = ops.fused_add_rms_norm(
             attn, residual, lp["ln2"], cfg.rms_eps)
         x = _moe_mlp(cfg, lp, h2)

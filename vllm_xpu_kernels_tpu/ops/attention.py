@@ -247,6 +247,7 @@ def flash_attn_varlen_func(
     fresh_slots: Optional[jax.Array] = None,  # [B] cache slots (<0 = skip)
     out_quant: bool = False,                  # fused int8 output quant
     v_head_dim: Optional[int] = None,         # fused pages: explicit Dv
+    v_lane_offset: Optional[int] = None,      # fused pages: V start lane
 ):
     """Varlen flash attention with optional paged KV — the reference's
     single public attention entry (flash_attn_interface.py:284,
@@ -281,6 +282,12 @@ def flash_attn_varlen_func(
     [K(576) | V(512) | zero pad] in 1152-lane pages so decode takes the
     one-DMA-per-page kernel.  Pad lanes must be kept zero (zero-init +
     row writes that only touch [: Dk+Dv]).
+
+    ``v_lane_offset`` (fused layout): lane where V starts (default Dk).
+    The absorbed-latent layout V OVERLAPS K (a page row is
+    [c_kv(512) | k_pe(64) | pad], K = all 576 payload lanes, V = the
+    first 512) — pass v_lane_offset=0, v_head_dim=512.  Decode only
+    (the dma kernel's padded-q path).
     """
     assert (cu_seqlens_k is None) != (seqused_k is None), (
         "provide exactly one of cu_seqlens_k / seqused_k")
@@ -323,6 +330,7 @@ def flash_attn_varlen_func(
                 num_splits_kv=num_splits_kv or 0,
                 fresh_kv=fresh_kv, fresh_slots=fresh_slots,
                 out_quant=out_quant, v_head_dim=v_head_dim,
+                v_lane_offset=v_lane_offset,
             ))
             out, lse = res.pop(0), res.pop(0)
             # paged_decode emits [out, lse, scale (only when the fused
@@ -372,7 +380,8 @@ def flash_attn_varlen_func(
     if paged and kv_layout == "fused":
         d = q.shape[-1]
         dv_ = v_head_dim or (k.shape[-1] - d)
-        k, v = k[..., :d], k[..., d:d + dv_]
+        vo = d if v_lane_offset is None else v_lane_offset
+        k, v = k[..., :d], k[..., vo:vo + dv_]
         kv_layout = "bhsd"
     if paged and kv_layout == "bhsd":
         k = k.transpose(0, 2, 1, 3)   # -> bshd for the padded gather
