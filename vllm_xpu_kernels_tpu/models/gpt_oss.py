@@ -145,20 +145,23 @@ def _expert_params(cfg: GptOssConfig, w13, w2, b13, b2):
     (one-time, load-side): the swigluoai contract's [0::2]/[1::2] strided
     slices cost a lane-relayout pass each per MoE call on TPU — the
     largest share of the fused pipeline's inter-GEMM glue.  The engine is
-    told via gate_up_layout="halves" (ops.moe._swigluoai_halves)."""
+    told via gate_up_layout="halves" (ops.moe._swigluoai_halves).
+    Quantization is per-column, so the permutation applies AFTER packing
+    (the packed codes + scales are 8x smaller than the f32 stack — a
+    pre-quant f32 permute copy OOMed 20B init on a 16 GB chip)."""
     from vllm_xpu_kernels_tpu.ops.moe import gate_up_halves_perm
 
     perm = jnp.asarray(gate_up_halves_perm(w13.shape[-1]))
-    w13 = jnp.take(w13, perm, axis=-1)
     b13 = jnp.take(b13, perm, axis=-1)
     lp = {}
     if cfg.quant == "mxfp4":
         p13, s13 = _quantize_experts_mxfp4(w13)
         p2, s2 = _quantize_experts_mxfp4(w2)
-        lp["w13"] = {"w": p13, "mx": s13}
+        lp["w13"] = {"w": jnp.take(p13, perm, axis=-1),
+                     "mx": jnp.take(s13, perm, axis=-1)}
         lp["w2"] = {"w": p2, "mx": s2}
     else:
-        lp["w13"] = {"w": w13.astype(cfg.jdtype)}
+        lp["w13"] = {"w": jnp.take(w13.astype(cfg.jdtype), perm, axis=-1)}
         lp["w2"] = {"w": w2.astype(cfg.jdtype)}
     lp["w13"]["b"] = b13.astype(jnp.float32)
     lp["w2"]["b"] = b2.astype(jnp.float32)
