@@ -201,6 +201,12 @@ def init_params(cfg: GptOssConfig, key=None):
                                           jnp.float32) * 0.02
                         ).astype(cfg.jdtype)
         lp["router_b"] = jnp.zeros((cfg.num_experts,), jnp.float32)
+        # bound init peak memory: each layer materializes a ~3 GB f32
+        # expert stack before quantization frees it — async dispatch
+        # otherwise keeps several layers' temporaries alive at once,
+        # which OOMs 20B init on a 16 GB chip
+        jax.block_until_ready(jax.tree.leaves(lp))
+        del w13, w2
     base["rope"] = _rope_cache_yarn(cfg)
     # untied lm_head (tie_word_embeddings=False); random init ties it to
     # embed unless a checkpoint provides one
