@@ -8,6 +8,14 @@ run the whole generate loop device-side under one jit (decode -> argmax
 HBM roofline (all-expert weight stream + attention weights + KV bytes).
 
 CPU smoke: ``python benchmark/benchmark_gptoss.py --small --cpu``.
+
+Memory note (16 GB v5e): the full 24-layer model's packed weights
+(~12.6 GB with bf16 embed+head) plus this harness's random-init
+temporaries and the step program's HLO temps exceed one chip — run
+``--layers 8`` (measured 1521 tok/s, 0.67 of the all-expert-stream
+roofline, round 4).  A real deployment shards the experts (EP) or the
+layers (PP) across chips; models/loader.py quantize-on-load also avoids
+the init temporaries.
 """
 
 from __future__ import annotations
