@@ -125,16 +125,31 @@ def _quantize_experts_mxfp4(w):
 
     e, k, n = w.shape
     g = 32
-    wg = w.astype(jnp.float32).reshape(e, k // g, g, n)
-    s = qm.ue8m0_round(
-        jnp.max(jnp.abs(wg), axis=2) / qm.FP4_E2M1_MAX, 1e-10)
-    codes = qm.fp4_e2m1_encode(
-        jnp.clip(wg / s[:, :, None, :], -qm.FP4_E2M1_MAX, qm.FP4_E2M1_MAX))
-    lo = codes[:, :, : g // 2]
-    hi = codes[:, :, g // 2:]
-    packed = (lo.astype(jnp.uint8) | (hi.astype(jnp.uint8) << 4)
-              ).reshape(e, k // 2, n).astype(jnp.int8)
-    return packed, s.astype(jnp.bfloat16)
+
+    def quant_chunk(wc):
+        ec = wc.shape[0]
+        wg = wc.astype(jnp.float32).reshape(ec, k // g, g, n)
+        s = qm.ue8m0_round(
+            jnp.max(jnp.abs(wg), axis=2) / qm.FP4_E2M1_MAX, 1e-10)
+        codes = qm.fp4_e2m1_encode(
+            jnp.clip(wg / s[:, :, None, :],
+                     -qm.FP4_E2M1_MAX, qm.FP4_E2M1_MAX))
+        lo = codes[:, :, : g // 2]
+        hi = codes[:, :, g // 2:]
+        packed = (lo.astype(jnp.uint8) | (hi.astype(jnp.uint8) << 4)
+                  ).reshape(ec, k // 2, n).astype(jnp.int8)
+        return packed, s.astype(jnp.bfloat16)
+
+    # chunk over experts: the encode chain holds ~3x the f32 chunk in
+    # temporaries — whole-stack quantization transiently needed ~6 GB
+    # per 20B layer and OOMed init beyond 8 layers on a 16 GB chip
+    step = max(1, min(e, 4))
+    parts = [quant_chunk(w[i:i + step]) for i in range(0, e, step)]
+    for pk, ps in parts:
+        jax.block_until_ready((pk, ps))
+    packed = jnp.concatenate([pk for pk, _ in parts], axis=0)
+    s = jnp.concatenate([ps for _, ps in parts], axis=0)
+    return packed, s
 
 
 def _expert_params(cfg: GptOssConfig, w13, w2, b13, b2):
