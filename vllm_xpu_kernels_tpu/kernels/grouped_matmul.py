@@ -63,6 +63,18 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _scale_f32(raw):
+    """Scale block -> f32: UE8M0 exponent bytes (the MX spec's 1-byte
+    storage — half the scale stream of bf16, a quarter of f32) decode
+    with one shift+bitcast (f32 exponent field = the byte); float dtypes
+    pass through."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if raw.dtype == jnp.uint8:
+        return pltpu.bitcast(raw.astype(jnp.int32) << 23, jnp.float32)
+    return raw.astype(jnp.float32)
+
+
 def _gmm_kernel(spec, ebv_ref, ebf_ref, *refs):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -120,8 +132,8 @@ def _gmm_kernel(spec, ebv_ref, ebf_ref, *refs):
             bn = raw.shape[-1]
             vals = pltpu.bitcast(
                 raw, jnp.float4_e2m1fn).astype(jnp.bfloat16)  # [2pb, bn]
-            sv = (s_ref[0][:, None, :] if s2d
-                  else s_ref[...]).astype(jnp.bfloat16)       # [S, 1, bn]
+            sv = _scale_f32(s_ref[0][:, None, :] if s2d
+                            else s_ref[...]).astype(jnp.bfloat16)
             x = (vals.reshape(S, gg, bn) * sv).reshape(2 * raw.shape[0],
                                                        bn)
             a = a_ref[...]
@@ -134,8 +146,8 @@ def _gmm_kernel(spec, ebv_ref, ebf_ref, *refs):
             S = spec["b_sub"]
             raw = b_ref[0]                       # [pb, bn] packed bytes
             bn = raw.shape[-1]
-            s = (s_ref[0][:, None, :] if s2d
-                 else s_ref[...]).astype(jnp.float32)   # [S, 1, bn]
+            s = _scale_f32(s_ref[0][:, None, :] if s2d
+                           else s_ref[...])             # [S, 1, bn]
 
             def amx(r):
                 x = r[...]

@@ -116,11 +116,10 @@ def _rope_cache_yarn(cfg: GptOssConfig):
 
 def _quantize_experts_mxfp4(w):
     """[E, K, N] f32 -> (packed [E, K/2, N] int8 split-K, scales
-    [E, K/32, N] bf16 pow2 — e8m0 scales are bf16-exact, and f32 storage
-    cost 2.4 GB of the 20B model's HBM budget and doubled the scale
-    stream).  Same packing as L.quantize_linear('mxfp4'), vectorized over
-    experts (reference recipe: the released gpt-oss checkpoints store
-    expert weights in MXFP4)."""
+    [E, K/32, N] UE8M0 exponent BYTES — the MX spec's 1-byte shared-scale
+    storage, exactly what the released gpt-oss checkpoints carry; bf16
+    scale stacks cost an extra 0.6 GB of HBM + stream on the 20B model).
+    Same packing as L.quantize_linear('mxfp4'), vectorized over experts."""
     from vllm_xpu_kernels_tpu.utils import quant_math as qm
 
     e, k, n = w.shape
@@ -138,7 +137,7 @@ def _quantize_experts_mxfp4(w):
         hi = codes[:, :, g // 2:]
         packed = (lo.astype(jnp.uint8) | (hi.astype(jnp.uint8) << 4)
                   ).reshape(ec, k // 2, n).astype(jnp.int8)
-        return packed, s.astype(jnp.bfloat16)
+        return packed, qm.e8m0_encode(s)
 
     # chunk over experts: the encode chain holds ~3x the f32 chunk in
     # temporaries — whole-stack quantization transiently needed ~6 GB

@@ -675,6 +675,10 @@ def _dequant_moe_weights(w, scales, quant, group_size):
             s = jnp.repeat(s, group_size, axis=1)
         return w.astype(jnp.float32) * s
     if quant in ("int4", "mxfp4"):
+        if scales.dtype == jnp.uint8:      # UE8M0 exponent bytes (MX spec)
+            from vllm_xpu_kernels_tpu.utils import quant_math as _qm
+
+            scales = _qm.e8m0_decode(scales)
         outs = []
         for eidx in range(w.shape[0]):
             codes = qmm.unpack_int4_splitk_grouped(w[eidx], group_size)

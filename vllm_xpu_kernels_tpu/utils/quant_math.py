@@ -67,6 +67,22 @@ def ue8m0_round(scale, eps: float = 1e-10):
     return jnp.exp2(jnp.ceil(jnp.log2(s)))
 
 
+def e8m0_encode(scale):
+    """Positive power-of-two scale -> UE8M0 exponent byte (the MX spec's
+    1-byte shared-scale storage, bias 127; the reference stores MXFP4
+    group scales exactly so).  Exponents are clamped to the bf16-normal
+    range [-126, 127] so the in-kernel byte->bf16 decode (exp << 7 bit
+    shift) never lands subnormal."""
+    e = jnp.round(jnp.log2(jnp.maximum(
+        scale.astype(jnp.float32), 1e-38))).astype(jnp.int32)
+    return jnp.clip(e + 127, 1, 254).astype(jnp.uint8)
+
+
+def e8m0_decode(b):
+    """UE8M0 exponent byte -> float32 power-of-two scale."""
+    return jnp.exp2(b.astype(jnp.float32) - 127.0)
+
+
 def fp4_e2m1_encode(x):
     """float -> e2m1 code (uint8 in [0,15]); x must already be in [-6, 6]."""
     a = jnp.abs(x.astype(jnp.float32))
