@@ -38,6 +38,9 @@ def main():
                          "gpt_oss._expert_params) — swigluoai then runs "
                          "on contiguous slices instead of [0::2] strided "
                          "lane-relayout gathers")
+    ap.add_argument("--scale-bytes", action="store_true",
+                    help="mxfp4: UE8M0 exponent-byte scales (checkpoint "
+                         "layout) instead of the bf16 serving storage")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one timed run")
     args = ap.parse_args()
@@ -91,11 +94,14 @@ def main():
             rng.integers(-128, 128, (e, d // 2, i2), dtype=np.int8))
         w2 = jnp.asarray(
             rng.integers(-128, 128, (e, inter // 2, d), dtype=np.int8))
-        # bf16 pow2 scales — what models/gpt_oss stores (e8m0 scales are
-        # bf16-exact); f32 scale stacks added 99 MB/call of pure stream
+        # bf16 pow2 scales — the serving storage (models/gpt_oss expands
+        # checkpoint UE8M0 bytes to bf16 at load: the in-kernel u8 decode
+        # measured -5%; pass --scale-bytes to bench the u8 path)
+        sdt = jnp.uint8 if args.scale_bytes else jnp.bfloat16
+        sval = 125 if args.scale_bytes else 0.25     # 2^-2 either way
         kwargs = dict(
-            w13_scales=jnp.full((e, d // g, i2), 0.25, jnp.bfloat16),
-            w2_scales=jnp.full((e, inter // g, d), 0.25, jnp.bfloat16),
+            w13_scales=jnp.full((e, d // g, i2), sval, sdt),
+            w2_scales=jnp.full((e, inter // g, d), sval, sdt),
             group_size=g)
         wbytes = w13.size + w2.size
     else:

@@ -10,12 +10,12 @@ HBM roofline (all-expert weight stream + attention weights + KV bytes).
 CPU smoke: ``python benchmark/benchmark_gptoss.py --small --cpu``.
 
 Memory note (16 GB v5e): the full 24-layer model's packed weights
-(~12.6 GB with bf16 embed+head) plus this harness's random-init
-temporaries and the step program's HLO temps exceed one chip — run
-``--layers 8`` (measured 1521 tok/s, 0.67 of the all-expert-stream
-roofline, round 4).  A real deployment shards the experts (EP) or the
-layers (PP) across chips; models/loader.py quantize-on-load also avoids
-the init temporaries.
+(~12.2 GB with bf16 embed + UE8M0 byte scales) plus the step program's
+~3.5 GB HLO temps exceed one chip's 15.75 GB — run ``--layers 16``
+(measured 944.7 tok/s, 0.74 of the all-expert-stream roofline, round
+4; 8 layers: 1521 tok/s).  A real 24-layer deployment shards the
+experts (EP) or layers (PP) across chips — both engine tiers exist
+(parallel/moe.py, parallel/pipeline.py).
 """
 
 from __future__ import annotations

@@ -116,10 +116,14 @@ def _rope_cache_yarn(cfg: GptOssConfig):
 
 def _quantize_experts_mxfp4(w):
     """[E, K, N] f32 -> (packed [E, K/2, N] int8 split-K, scales
-    [E, K/32, N] UE8M0 exponent BYTES — the MX spec's 1-byte shared-scale
-    storage, exactly what the released gpt-oss checkpoints carry; bf16
-    scale stacks cost an extra 0.6 GB of HBM + stream on the 20B model).
-    Same packing as L.quantize_linear('mxfp4'), vectorized over experts."""
+    [E, K/32, N] bf16 pow2).  The MX spec (and the released gpt-oss
+    checkpoints) store scales as UE8M0 exponent BYTES — the kernel
+    accepts those directly (uint8 scales, shift+bitcast decode), but the
+    in-kernel decode's layout conversions measured -5% on the fused
+    pipeline (143 vs 150 GB/s), so SERVING storage expands the bytes to
+    bf16 once at load (exact: e8m0 is bf16-representable; +0.6 GB HBM on
+    the 20B model).  Checkpoint-side e8m0 codecs: utils/quant_math
+    e8m0_encode/decode."""
     from vllm_xpu_kernels_tpu.utils import quant_math as qm
 
     e, k, n = w.shape
@@ -137,7 +141,7 @@ def _quantize_experts_mxfp4(w):
         hi = codes[:, :, g // 2:]
         packed = (lo.astype(jnp.uint8) | (hi.astype(jnp.uint8) << 4)
                   ).reshape(ec, k // 2, n).astype(jnp.int8)
-        return packed, qm.e8m0_encode(s)
+        return packed, s.astype(jnp.bfloat16)
 
     # chunk over experts: the encode chain holds ~3x the f32 chunk in
     # temporaries — whole-stack quantization transiently needed ~6 GB
