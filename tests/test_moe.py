@@ -319,3 +319,37 @@ def test_batched_moe_align_block_size():
     valid = sorted_ids[sorted_ids < numel]
     assert len(valid) == int(ent.sum())
     assert len(set(valid.tolist())) == len(valid)
+
+
+def test_fused_moe_mxfp4_ue8m0_byte_scales(impl):
+    """UE8M0 exponent-BYTE scales (the MX spec / released-checkpoint
+    storage) == the expanded bf16 pow2 scales through the fused
+    pipeline on both tiers (in-kernel shift+bitcast decode)."""
+    from vllm_xpu_kernels_tpu.utils import quant_math as qm
+
+    rng = np.random.default_rng(17)
+    t, d, inter, e, k, g = 16, 64, 64, 4, 2, 32
+    x = jnp.asarray(rng.standard_normal((t, d)) * 0.3, jnp.bfloat16)
+    w13 = jnp.asarray(rng.integers(-128, 128, (e, d // 2, 2 * inter),
+                                   dtype=np.int8))
+    w2 = jnp.asarray(rng.integers(-128, 128, (e, inter // 2, d),
+                                  dtype=np.int8))
+    s13 = jnp.exp2(jnp.asarray(
+        rng.integers(-6, 3, (e, d // g, 2 * inter)), jnp.float32))
+    s2 = jnp.exp2(jnp.asarray(
+        rng.integers(-6, 3, (e, inter // g, d)), jnp.float32))
+    tw, ti = ops.topk_softmax(jnp.asarray(
+        rng.standard_normal((t, e)), jnp.float32), k, True)
+
+    def run(s13v, s2v):
+        return np.asarray(ops.tpu_fused_moe(
+            x, w13, w2, tw, ti.astype(jnp.int32), quant="mxfp4",
+            w13_scales=s13v, w2_scales=s2v, group_size=g), np.float32)
+
+    ref = run(s13v=s13.astype(jnp.bfloat16), s2v=s2.astype(jnp.bfloat16))
+    got = run(s13v=qm.e8m0_encode(s13), s2v=qm.e8m0_encode(s2))
+    np.testing.assert_allclose(got, ref, rtol=2e-2,
+                               atol=2e-2 * max(1.0, np.abs(ref).max()))
+    # codec round-trip is exact on the pow2 grid
+    np.testing.assert_array_equal(
+        np.asarray(qm.e8m0_decode(qm.e8m0_encode(s13))), np.asarray(s13))

@@ -218,6 +218,49 @@ def test_deepseek_decode():
     assert vc[0].shape[-1] == cfg.v_head_dim
 
 
+def test_deepseek_prefill_then_decode_matches_full_prefill():
+    """deepseek prefill_step + one decode_step == a full prefill of the
+    extended prompt (teacher-forced incremental equivalence, same
+    contract as the Llama serving tests)."""
+    from vllm_xpu_kernels_tpu.models import deepseek as DS
+
+    kw = dict(
+        hidden_size=128, num_layers=2, num_q_heads=4, num_kv_heads=4,
+        qk_nope_dim=32, qk_rope_dim=16, v_head_dim=32, kv_lora_rank=64,
+        vocab_size=128, max_position=64, block_size=16,
+        num_experts=16, num_shared_experts=1, top_k=4, n_group=4,
+        topk_group=2, moe_intermediate=64, head_dim=48,
+        intermediate_size=64)
+    cfg = DS.DeepSeekConfig(**kw)
+    params = DS.init_params(cfg, jax.random.PRNGKey(7))
+    rng = np.random.default_rng(8)
+    n = 9
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, n + 1), jnp.int32)
+    tbl = jnp.asarray([[0, 1]], jnp.int32)
+
+    def prefill(n_tok):
+        kc, vc = DS.init_kv_cache(cfg, 4)
+        pos = jnp.arange(n_tok, dtype=jnp.int32)
+        slots = pos
+        cu = jnp.asarray([0, n_tok], jnp.int32)
+        kv_lens = jnp.asarray([n_tok], jnp.int32)
+        logits, kc, vc = DS.prefill_step(
+            cfg, params, toks[:n_tok], pos, cu, slots, tbl, kv_lens,
+            kc, vc, max_seqlen_q=16, max_seqlen_k=32)
+        return logits, kc, vc
+
+    full, _, _ = prefill(n + 1)
+    part, kc, vc = prefill(n)
+    dec, _, _ = DS.decode_step(
+        cfg, params, toks[n:n + 1], jnp.asarray([n], jnp.int32),
+        jnp.asarray([n], jnp.int32), tbl,
+        jnp.asarray([n + 1], jnp.int32), kc, vc, max_seqlen_k=32)
+    ref = np.asarray(full, np.float32)[-1]
+    got = np.asarray(dec, np.float32)[0]
+    np.testing.assert_allclose(got, ref, rtol=3e-2,
+                               atol=3e-2 * max(1.0, np.abs(ref).max()))
+
+
 def test_deepseek_absorbed_decode_matches_expanded():
     """Weight-absorbed latent MLA decode (one [c_kv | k_pe] row per
     token, V overlapping K's first r lanes on the padded-fused kernel)

@@ -307,13 +307,35 @@ def decode_step(cfg: DeepSeekConfig, params, token_ids, positions,
     """One decode step.  With ``cfg.index_topk > 0`` pass ``idx_cache``
     (from init_indexer_cache) to run DSA sparse attention; returns
     (logits, k_cache, v_cache[, idx_cache])."""
-    sparse = cfg.index_topk > 0
+    b = token_ids.shape[0]
+    cu_q = jnp.arange(b + 1, dtype=jnp.int32)
+    return _forward_tokens(cfg, params, token_ids, positions,
+                           slot_mapping, block_table, kv_lens, cu_q, 1,
+                           max_seqlen_k, k_cache, v_cache, idx_cache)
+
+
+def prefill_step(cfg: DeepSeekConfig, params, token_ids, positions,
+                 cu_seqlens_q, slot_mapping, block_table, kv_lens,
+                 k_cache, v_cache, max_seqlen_q: int, max_seqlen_k: int):
+    """Chunked/whole prefill over packed varlen sequences (expanded MLA
+    cache layout; the absorbed latent layout and DSA sparse selection
+    are decode-time modes) -> (logits [T, V], caches)."""
+    assert not cfg.absorbed, "prefill uses the expanded cache layout"
+    assert cfg.index_topk == 0, "DSA sparse selection is decode-only"
+    return _forward_tokens(cfg, params, token_ids, positions,
+                           slot_mapping, block_table, kv_lens,
+                           cu_seqlens_q, max_seqlen_q, max_seqlen_k,
+                           k_cache, v_cache, None)
+
+
+def _forward_tokens(cfg: DeepSeekConfig, params, token_ids, positions,
+                    slot_mapping, block_table, kv_lens, cu_q, max_q,
+                    max_seqlen_k, k_cache, v_cache, idx_cache=None):
+    sparse = cfg.index_topk > 0 and max_q == 1
     assert not sparse or idx_cache is not None, \
         "index_topk > 0 requires idx_cache (init_indexer_cache)"
     assert not (sparse and cfg.absorbed), \
         "DSA sparse decode composes with the expanded cache layout"
-    b = token_ids.shape[0]
-    cu_q = jnp.arange(b + 1, dtype=jnp.int32)
     x = jnp.take(params["embed"], token_ids, axis=0)
     rope = params["rope"]
     residual = jnp.zeros_like(x)
@@ -330,7 +352,8 @@ def decode_step(cfg: DeepSeekConfig, params, token_ids, positions,
         else:
             attn, kc_l, vc_l, ic_l = _mla_attention(
                 cfg, lp, h, positions, rope, k_cache[li], v_cache[li],
-                slot_mapping, block_table, kv_lens, cu_q, 1, max_seqlen_k,
+                slot_mapping, block_table, kv_lens, cu_q, max_q,
+                max_seqlen_k,
                 ic_l=idx_cache[li] if sparse else None)
         h2, residual = ops.fused_add_rms_norm(
             attn, residual, lp["ln2"], cfg.rms_eps)
