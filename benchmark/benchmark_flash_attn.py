@@ -51,7 +51,9 @@ def main():
         # "up to 576/512", chunk_prefill_kernel.hpp:70 +
         # test_mla_decode.py): ONE latent KV head, d_qk 576 / d_vo 512,
         # 128 q heads pre-divided by TP=8 -> 16 per chip.
-        hq, hkv, dq, dv, bs_m = 16, 1, 576, 512, 64
+        # bs 64 is the reference MLA test page; fatter pages amortize
+        # per-page DMA issue on the fused path (--block-size to sweep)
+        hq, hkv, dq, dv, bs_m = 16, 1, 576, 512, (bs or 64)
         B, kv = 32, 4096
         maxb = -(-kv // bs_m)
         nb = B * maxb + 1
