@@ -550,6 +550,71 @@ def test_gpipe_pipeline_matches_sequential(n_stages, m):
     assert_allclose(out, np.asarray(golden), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("n_stages,m", [(2, 4), (4, 6), (4, 1)])
+def test_one_f_one_b_matches_sequential_grads(n_stages, m):
+    """1F1B pipeline loss + per-stage grads == jax.grad of the sequential
+    stack (forward AND backward stream through the stage ring)."""
+    from vllm_xpu_kernels_tpu.parallel import (
+        one_f_one_b_grads, stack_stage_params)
+
+    mb, d = 8, 32
+    layers_per_stage = 2
+    n_layers = n_stages * layers_per_stage
+    rng = np.random.default_rng(1)
+    per_layer = [
+        {"w": jnp.asarray(rng.standard_normal((d, d)) * (d ** -0.5),
+                          jnp.float32),
+         "b": jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)}
+        for _ in range(n_layers)
+    ]
+    x = jnp.asarray(rng.standard_normal((m, mb, d)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((m, mb, d)), jnp.float32)
+
+    def layer(p, h):
+        return jnp.tanh(h @ p["w"] + p["b"])
+
+    def loss_fn(act, y_mb):
+        return jnp.mean((act - y_mb) ** 2)
+
+    # sequential golden loss + grads over the stacked stage params
+    stacked = stack_stage_params(per_layer, n_stages)  # [S, Lps, ...]
+
+    def stage_fn(stage_p, h):
+        for li in range(layers_per_stage):
+            h = layer(jax.tree.map(lambda a: a[li], stage_p), h)
+        return h
+
+    def seq_loss(stacked_p):
+        total = 0.0
+        for mi in range(m):
+            h = x[mi]
+            for si in range(n_stages):
+                h = stage_fn(jax.tree.map(lambda a: a[si], stacked_p), h)
+            total = total + loss_fn(h, y[mi])
+        return total
+
+    golden_loss, golden_grads = jax.value_and_grad(seq_loss)(stacked)
+
+    mesh = Mesh(np.array(jax.devices()[:n_stages]), ("pp",))
+
+    def run(stacked_p, x, y):
+        my = jax.tree.map(lambda a: a[0], stacked_p)
+        loss, g = one_f_one_b_grads(stage_fn, my, x, y, loss_fn, "pp")
+        return loss, jax.tree.map(lambda a: a[None], g)
+
+    f = shard_map(
+        run, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P("pp"), stacked), P(), P()),
+        out_specs=(P(), jax.tree.map(lambda _: P("pp"), stacked)),
+        check_rep=False)
+    loss, grads = jax.jit(f)(stacked, x, y)
+    assert_allclose(np.asarray(loss), np.asarray(golden_loss),
+                    rtol=1e-5, atol=1e-6)
+    for ga, gb in zip(jax.tree.leaves(grads), jax.tree.leaves(golden_grads)):
+        assert_allclose(np.asarray(ga), np.asarray(gb),
+                        rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("window,sink", [((7, -1), False), ((-1, -1), True),
                                          ((5, -1), True)])
 def test_ring_attention_window_sink(window, sink):

@@ -31,5 +31,6 @@ from vllm_xpu_kernels_tpu.parallel.overlap import (  # noqa: F401
 from vllm_xpu_kernels_tpu.parallel.pipeline import (  # noqa: F401
     AXIS_PP,
     gpipe_apply,
+    one_f_one_b_grads,
     stack_stage_params,
 )
