@@ -8,6 +8,17 @@ mesh slice ``pp=i``, and microbatches stream through the ring with
 ``ppermute`` hops over ICI.  All devices run the same program (SPMD);
 bubble steps compute on garbage that is never read — the standard GPipe
 schedule expressed for XLA's static-shape world.
+
+Two schedules: ``gpipe_apply`` (forward streaming — the serving path)
+and ``one_f_one_b_grads`` (1F1B forward/backward interleaving with the
+bounded activation stash).  An *interleaved virtual-stage* schedule
+(v non-contiguous layer chunks per device) is deliberately absent: its
+bubble win exists only when a backward pass makes the pipeline refill
+repeatedly; for forward-only inference the fill time is
+``(n*v - 1) * (T/v) ~= n*T - T/v`` — marginally WORSE than GPipe's
+``(n - 1) * T`` — while paying v times the ppermute hops per token.
+For training-shaped use, 1F1B's memory bound is the property that
+matters at serving-adjacent scale.
 """
 
 from __future__ import annotations
