@@ -67,18 +67,21 @@ def main():
             rng.standard_normal((16384, rot)) * 0.5, jnp.float32)
         pos3 = jnp.asarray(rng.integers(0, 16384, (3, t)), jnp.int32)
 
-        def step(qk, _p=pos3, _cs=cos_sin, _hs=hs, _sec=section):
+        def step(qk, cs, _hs=hs, _sec=section):
             qq, kk = qk
+            _p, _cs = cs
             return ops.multimodal_rotary_embedding(
                 _p, qq, kk, _hs, _cs, True, _sec)
 
         # feed both rotated outputs back into the carry so nothing is DCE'd
-        def fb(y, x):
+        def fb(y, x, cs):
             qo, ko = y
             return (qo * 0.999, ko * 0.999)
 
         nbytes = 2 * t * (hq + hkv) * hs * 2   # read+write q and k (bf16)
-        sec = bench_op(step, fb, (q, k))
+        # pos3/cos_sin are loop-invariant: ride as jit args (consts=), not
+        # closures (inline MLIR constants round-trip through the tunnel)
+        sec = bench_op(step, fb, (q, k), consts=(pos3, cos_sin))
         print(report_row(
             f"mrope {name} (H={hq}/{hkv} hs={hs} sec={section})", sec,
             bytes_moved=nbytes, peak_gbps=p["hbm_gbps"]))
