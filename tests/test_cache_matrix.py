@@ -18,7 +18,8 @@ from tests.conftest import scoped
 
 TOKENS = scoped([3, 24, 42], ci=[24], key="num_tokens")
 HEADS = scoped([1, 4, 8], ci=[4], key="heads")
-HEAD_SIZES = scoped([32, 64, 80, 128, 256], ci=[64, 80], key="head_size")
+HEAD_SIZES = scoped([32, 64, 80, 120, 128, 256], ci=[64, 80, 120],
+                    key="head_size")
 BLOCK_SIZES = scoped([8, 16, 32], ci=[16], key="block_size")
 DTYPES = scoped(["bfloat16", "float16", "float32"], ci=["bfloat16"],
                 key="dtype")

@@ -105,7 +105,12 @@ DECODE_LENS = [[(1, 1025), (1, 523), (1, 37)]]
 
 
 @pytest.mark.parametrize("seq_lens", SEQ_LENS)
-@pytest.mark.parametrize("head_size", scoped([64, 128, 256], ci=[64, 128], key="head_size"))
+# non-lane-aligned heads 80/96/120 take the padded-lane route (reference
+# sweep points: tests/test_cache.py:21 head 80/120, attention head 512
+# tests/flash_attn/test_flash_attn_varlen_func.py:14)
+@pytest.mark.parametrize("head_size", scoped(
+    [64, 80, 96, 120, 128, 256, 512], ci=[64, 80, 120, 128],
+    key="head_size"))
 @pytest.mark.parametrize("causal", [True, False])
 @pytest.mark.parametrize("window", scoped(
     [(-1, -1), (127, -1), (64, 64)], ci=[(-1, -1), (127, -1)],
@@ -157,7 +162,8 @@ def test_varlen_nonpaged(seq_lens, impl):
 
 
 @pytest.mark.parametrize("seq_lens", DECODE_LENS)
-@pytest.mark.parametrize("head_size", scoped([64, 128, 256], ci=[64, 128], key="head_size"))
+@pytest.mark.parametrize("head_size", scoped(
+    [64, 80, 96, 120, 128, 256], ci=[64, 80, 120, 128], key="head_size"))
 @pytest.mark.parametrize("block_size", scoped([16, 64], ci=[16], key="block_size"))
 @pytest.mark.parametrize("window", [(-1, -1), (127, -1)])
 def test_decode_paged(seq_lens, head_size, block_size, window, impl):

@@ -231,6 +231,149 @@ def test_tpu_fused_moe(quant, impl):
                     atol=tol * max(1.0, np.abs(golden).max()))
 
 
+def _np_qdq_group_fp8(x, g, ue8m0):
+    """Numpy twin of ops.per_token_group_fp8_quant qdq (e4m3, per-row
+    K-group scales, optional UE8M0 pow2 rounding)."""
+    import ml_dtypes
+
+    m, n = x.shape
+    xg = x.astype(np.float32).reshape(m, n // g, g)
+    absmax = np.maximum(np.abs(xg).max(-1), 1e-10)
+    s = np.maximum(absmax / 448.0, 1.0 / (448.0 * 512.0))
+    if ue8m0:
+        s = np.exp2(np.ceil(np.log2(np.maximum(s, 1e-10))))
+    q = np.clip(xg / s[..., None], -448, 448).astype(
+        ml_dtypes.float8_e4m3fn).astype(np.float32)
+    return (q * s[..., None]).reshape(m, n)
+
+
+def _np_qdq_tensor_fp8(x, absmax):
+    """Numpy twin of ops.dynamic_scaled_fp8_quant qdq (per-tensor e4m3;
+    ``absmax`` passed in so the caller controls the amax population)."""
+    import ml_dtypes
+
+    s = max(absmax / 448.0, 1.0 / (448.0 * 512.0))
+    q = np.clip(x.astype(np.float32) / s, -448, 448).astype(
+        ml_dtypes.float8_e4m3fn).astype(np.float32)
+    return q * s
+
+
+@pytest.mark.parametrize("quant", ["mxfp8", "fp8_block", "mxfp4_fp8"])
+def test_tpu_fused_moe_fp8_recipes(quant, impl):
+    """The reference's remaining fused-MoE recipes: mxfp8 (fp8 weights +
+    UE8M0 32-group scales, mxfp8-qdq acts), block-fp8 ([K/128, N/128] f32
+    weight scales, per-128-group-qdq acts), mxfp4_fp8 (mxfp4 weights,
+    per-tensor-fp8-qdq acts).  Reference detection + ref impl:
+    fused_moe_interface.py:33-60, ref_moe_utils.py:166-250."""
+    from vllm_xpu_kernels_tpu.utils import quant_math as qm
+
+    t, d, inter, e, k = 24, 128, 256, 8, 2
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((t, d)) * 0.3, jnp.bfloat16)
+    gating = rng.standard_normal((t, e)).astype(np.float32)
+    tw, ti = ops.topk_softmax(jnp.asarray(gating), k, True)
+    tw_np, ti_np = np.asarray(tw), np.asarray(ti)
+    w13f = rng.standard_normal((e, d, 2 * inter)).astype(np.float32) * 0.1
+    w2f = rng.standard_normal((e, inter, d)).astype(np.float32) * 0.1
+
+    kwargs = {}
+    if quant == "mxfp8":
+        import ml_dtypes
+
+        g = 32
+        s13 = np.exp2(rng.integers(-6, -2, (e, d // g, 2 * inter))
+                      ).astype(np.float32)
+        s2 = np.exp2(rng.integers(-6, -2, (e, inter // g, d))
+                     ).astype(np.float32)
+        q13 = (w13f / np.repeat(s13, g, 1)).astype(ml_dtypes.float8_e4m3fn)
+        q2 = (w2f / np.repeat(s2, g, 1)).astype(ml_dtypes.float8_e4m3fn)
+        w13, w2 = jnp.asarray(q13), jnp.asarray(q2)
+        w13_dq = q13.astype(np.float32) * np.repeat(s13, g, 1)
+        w2_dq = q2.astype(np.float32) * np.repeat(s2, g, 1)
+        # scales ride as UE8M0 exponent BYTES (the MX storage format)
+        kwargs = dict(
+            w13_scales=jnp.asarray(qm.e8m0_encode(jnp.asarray(s13))),
+            w2_scales=jnp.asarray(qm.e8m0_encode(jnp.asarray(s2))),
+            group_size=g)
+        qdq = lambda a: _np_qdq_group_fp8(a, 32, True)
+    elif quant == "fp8_block":
+        import ml_dtypes
+
+        gb = 128
+        s13 = (rng.random((e, d // gb, 2 * inter // gb)) * 0.1
+               + 0.02).astype(np.float32)
+        s2 = (rng.random((e, inter // gb, d // gb)) * 0.1
+              + 0.02).astype(np.float32)
+        ex13 = np.repeat(np.repeat(s13, gb, 1), gb, 2)
+        ex2 = np.repeat(np.repeat(s2, gb, 1), gb, 2)
+        q13 = np.clip(w13f / ex13, -448, 448).astype(
+            ml_dtypes.float8_e4m3fn)
+        q2 = np.clip(w2f / ex2, -448, 448).astype(ml_dtypes.float8_e4m3fn)
+        w13, w2 = jnp.asarray(q13), jnp.asarray(q2)
+        w13_dq = q13.astype(np.float32) * ex13
+        w2_dq = q2.astype(np.float32) * ex2
+        kwargs = dict(w13_scales=jnp.asarray(s13),
+                      w2_scales=jnp.asarray(s2), group_size=gb)
+        qdq = lambda a: _np_qdq_group_fp8(a, 128, False)
+    else:   # mxfp4_fp8: mxfp4 weights, per-tensor fp8 act qdq
+        g = 32
+        vals13 = rng.standard_normal((e, d, 2 * inter)).astype(np.float32)
+        vals2 = rng.standard_normal((e, inter, d)).astype(np.float32)
+        codes13 = np.asarray(qm.fp4_e2m1_encode(jnp.asarray(
+            np.clip(vals13, -6, 6))), np.uint8)
+        codes2 = np.asarray(qm.fp4_e2m1_encode(jnp.asarray(
+            np.clip(vals2, -6, 6))), np.uint8)
+        s13 = np.exp2(rng.integers(-3, 1, (e, d // g, 2 * inter))
+                      ).astype(np.float32)
+        s2 = np.exp2(rng.integers(-3, 1, (e, inter // g, d))
+                     ).astype(np.float32)
+        w13_dq = np.asarray(qm.fp4_e2m1_decode(jnp.asarray(codes13)),
+                            np.float32) * np.repeat(s13, g, 1)
+        w2_dq = np.asarray(qm.fp4_e2m1_decode(jnp.asarray(codes2)),
+                           np.float32) * np.repeat(s2, g, 1)
+        w13 = jnp.asarray(np.stack(
+            [pack_int4_splitk(codes13[i], g) for i in range(e)]))
+        w2 = jnp.asarray(np.stack(
+            [pack_int4_splitk(codes2[i], g) for i in range(e)]))
+        kwargs = dict(w13_scales=jnp.asarray(s13),
+                      w2_scales=jnp.asarray(s2), group_size=g)
+        qdq = None   # per-tensor amax handled in the golden loop below
+
+    out = ops.tpu_fused_moe(
+        x, w13, w2, tw, ti, quant=quant, activation="silu", block_m=32,
+        **kwargs)
+
+    # golden with the act qdq applied exactly as the op contract states
+    xf = np.asarray(x, np.float32)
+    if quant == "mxfp4_fp8":
+        x_qdq = _np_qdq_tensor_fp8(xf, np.abs(xf).max())
+        # per-tensor GEMM2 amax is over ALL routed-slot activations
+        acts = {}
+        for i in range(t):
+            for j in range(k):
+                h = x_qdq[i] @ w13_dq[ti_np[i, j]]
+                a = h[:inter] / (1 + np.exp(-h[:inter])) * h[inter:]
+                acts[(i, j)] = a
+        amax2 = max(np.abs(a).max() for a in acts.values())
+        golden = np.zeros((t, d), np.float32)
+        for (i, j), a in acts.items():
+            golden[i] += tw_np[i, j] * (
+                _np_qdq_tensor_fp8(a, amax2) @ w2_dq[ti_np[i, j]])
+    else:
+        x_qdq = qdq(xf)
+        golden = np.zeros((t, d), np.float32)
+        for i in range(t):
+            for j in range(k):
+                h = x_qdq[i] @ w13_dq[ti_np[i, j]]
+                a = h[:inter] / (1 + np.exp(-h[:inter])) * h[inter:]
+                a = qdq(a[None, :])[0]
+                golden[i] += tw_np[i, j] * (a @ w2_dq[ti_np[i, j]])
+
+    tol = 6e-2
+    assert_allclose(out, golden, rtol=tol,
+                    atol=tol * max(1.0, np.abs(golden).max()))
+
+
 def test_tpu_fused_moe_ep(impl):
     """EP: only local experts contribute on this rank."""
     t, d, inter, e_g, k = 12, 64, 128, 8, 2

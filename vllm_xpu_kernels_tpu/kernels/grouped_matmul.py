@@ -12,7 +12,10 @@ buffered.
 
 Recipes (mirroring grouped_gemm_xe2_interface.hpp:174-350):
 - bf16/f16 dense weights
-- fp8 (e4m3/e5m2) weights + per-expert scalar or per-channel [E, N] scales
+- fp8 (e4m3/e5m2) weights + per-expert scalar or per-channel [E, N]
+  scales, or K-grouped [E, K/g, N] scales (mxfp8's e8m0 32-groups and
+  block-fp8's f32 128-blocks, N-expanded host-side — reference recipes
+  fused_moe_interface.py:33-60, ref_moe_utils.py:66-165)
 - int4 split-K packed weights + per-expert K-group scales [E, K/g, N]
 - mxfp4 (e2m1 split-K packed + power-of-two group scales)
 - optional per-expert bias [E, N]
@@ -216,7 +219,16 @@ def _gmm_kernel(spec, ebv_ref, ebf_ref, *refs):
         a = a.astype(jnp.bfloat16)                   # [bm, bk]
         raw = b_ref[0]                               # [bk, bn]
         if spec["quant"] in ("fp8", "fp8_channel"):
-            b = fp8_upcast_f32(raw).astype(jnp.bfloat16)
+            bf = fp8_upcast_f32(raw)
+            if spec.get("fp8_group"):
+                # K-grouped scales (mxfp8 e8m0 / block-fp8 f32) dequant
+                # in-loop: [b_sub, 1|, bn] broadcast over g-row spans
+                bn = raw.shape[-1]
+                sv = (s_ref[0][:, None, :] if spec.get("s2d")
+                      else s_ref[...])
+                bf = (bf.reshape(spec["b_sub"], spec["g"], bn)
+                      * _scale_f32(sv)).reshape(raw.shape)
+            b = bf.astype(jnp.bfloat16)
         else:
             b = raw.astype(jnp.bfloat16)
         acc_ref[:] += jnp.dot(a, b, preferred_element_type=jnp.float32)
@@ -227,7 +239,7 @@ def _gmm_kernel(spec, ebv_ref, ebf_ref, *refs):
         if spec["quant"] == "w8a8":
             out = out.astype(jnp.float32)
         if (spec["quant"] in ("fp8", "fp8_channel", "w8a8")
-                and s_ref is not None):
+                and s_ref is not None and not spec.get("fp8_group")):
             out = out * s_ref[0].astype(jnp.float32)   # [1, bn] per-channel
         if spec["bias_first"]:
             # second-GEMM order: (x@W + bias) * routing_weight
@@ -338,6 +350,9 @@ def grouped_matmul_pallas(
     e = b.shape[0]
     n = b.shape[2]
     packed = quant in ("int4", "mxfp4")
+    # K-grouped fp8 scales (mxfp8 / block-fp8 recipes): [E, K/g, N]
+    fp8_group = (quant == "fp8" and group_size > 0 and scales is not None
+                 and not packed)
     K = b.shape[1] * (2 if packed else 1)
     assert k_dim == K, (a.shape, b.shape, quant)
     assert r % block_m == 0, (r, block_m)
@@ -361,8 +376,13 @@ def grouped_matmul_pallas(
             bn = _pick_bn(n, bn - 128)
         b_sub = bk // g
     else:
-        bk = _pick_bk(K, bn, jnp.dtype(b.dtype).itemsize, min(128, K))
-        b_sub = 1
+        # K-grouped fp8 scales: the K-block must cover whole scale groups
+        g = group_size
+        step = (g * 128 // _gcd(g, 128)) if fp8_group else 128
+        bk = _pick_bk(K, bn, jnp.dtype(b.dtype).itemsize, min(step, K))
+        if fp8_group and bk % g != 0:
+            bk = K
+        b_sub = bk // g if fp8_group else 1
     nj = _cdiv(n, bn)
     nk = K // bk
     grid = (r // bm, nj, nk)
@@ -383,11 +403,12 @@ def grouped_matmul_pallas(
     spec = dict(
         quant=quant, b_sub=b_sub, g=group_size,
         fast_packed=fast_packed, native_e2m1=native_e2m1,
+        fp8_group=fp8_group,
         has_scale=scales is not None,
         has_row_scale=row_scales is not None,
         has_bias=bias is not None,
         bias_first=bias_first,
-        s2d=(scales is not None and packed
+        s2d=(scales is not None and (packed or fp8_group)
              and (b_sub == K // group_size or b_sub % 8 == 0)),
     )
 
@@ -446,7 +467,7 @@ def grouped_matmul_pallas(
         in_specs.append(pl.BlockSpec((1, bk, bn), b_map))
         operands.append(b)
     if scales is not None:
-        if packed:
+        if packed or fp8_group:
             ng = K // group_size
             assert scales.shape == (e, ng, n), (scales.shape, e, ng, n)
             if b_sub == ng or b_sub % 8 == 0:

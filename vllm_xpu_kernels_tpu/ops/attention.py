@@ -312,6 +312,28 @@ def flash_attn_varlen_func(
         in_dtype = q.dtype
         q, k = mosaic_safe(q), mosaic_safe(k)
         v = mosaic_safe(v) if v is not None else None
+        # Padded-lane routing for non-lane-aligned head sizes (the
+        # reference sweeps head 80/96/120, tests/test_cache.py:21): pad D
+        # and Dv up to the next 128-lane multiple with zeros (exact: zero
+        # K lanes add 0 to every logit, zero V lanes slice away) so the
+        # kernels run on their aligned fast paths.  d % 128 == 64 (head
+        # 64, MLA 192/576) keeps the proven half-lane pipelined route.
+        # Byte cost of this call: lane bytes inflate by ceil(d/128)*128/d
+        # (head 80 -> 1.6x, 96 -> 1.33x, 120 -> 1.07x); serving layers
+        # should allocate padded caches up front to avoid the per-call
+        # pad copy of K/V.
+        dv_sl = None
+        if kv_layout != "fused":
+            d_o, dv_o = q.shape[-1], v.shape[-1]
+            _odd = lambda dd: dd % 128 not in (0, 64)
+            if _odd(d_o) or _odd(dv_o):
+                def _pad_to(x, dp):
+                    return jnp.pad(
+                        x, ((0, 0),) * (x.ndim - 1) + ((0, dp - x.shape[-1]),))
+                dp = (-(-d_o // 128) * 128) if _odd(d_o) else d_o
+                dvp = (-(-dv_o // 128) * 128) if _odd(dv_o) else dv_o
+                q, k, v = _pad_to(q, dp), _pad_to(k, dp), _pad_to(v, dvp)
+                dv_sl = dv_o
         if paged and kv_layout == "bshd":
             # The Pallas kernels consume the TPU-native page layout
             # [nb, Hkv, bs, D] (exact Mosaic tiles, one DMA per (head,
@@ -337,6 +359,8 @@ def flash_attn_varlen_func(
             # epilogue ran), new_cache (only in fresh mode)]
             o_scale = res.pop(0) if len(res) == (2 if fresh_kv is not None
                                                  else 1) else None
+            if dv_sl is not None:
+                out = out[..., :dv_sl]   # drop the zero pad lanes
             if o_scale is None:
                 out = out.astype(in_dtype)
             if out_quant:
@@ -361,6 +385,8 @@ def flash_attn_varlen_func(
             softcap=softcap, sink=s_aux,
             k_descale=k_descale, v_descale=v_descale,
         )
+        if dv_sl is not None:
+            out = out[..., :dv_sl]       # drop the zero pad lanes
         out = out.astype(in_dtype)
         if out_quant:
             out = (out, None)

@@ -491,7 +491,10 @@ def tpu_fused_moe(
     w13_bias: Optional[jax.Array] = None,
     w2_bias: Optional[jax.Array] = None,
     activation: str = "silu",
-    quant: str = "none",   # none | fp8_channel | w8a8 | int4 | mxfp4
+    # none | fp8_channel | w8a8 | int4 | mxfp4 | mxfp8 | fp8_block |
+    # mxfp4_fp8  (the reference detects mxfp8 / block-fp8 / mxfp4_fp8
+    # from weight+scale dtypes, fused_moe_interface.py:33-60)
+    quant: str = "none",
     group_size: int = 0,           # K-group for int4/mxfp4 scales
     num_experts: Optional[int] = None,
     ep_rank: int = 0,
@@ -513,6 +516,17 @@ def tpu_fused_moe(
     columns at load (gate_up_halves_perm) so interleaved-contract
     activations (swigluoai) run on contiguous half-slices — strided
     [0::2] gathers are a lane relayout per pass on TPU.
+
+    Activation-quantizing recipes (reference ref_moe_utils.py:166-188
+    ``qdq_act``; the dense ``fp8_gemm`` classifies the same scale
+    shapes): ``mxfp8`` = fp8 weights + [E, K/32, N] UE8M0 scales, acts
+    qdq'd per-32-group with pow2 scales; ``fp8_block`` = fp8 weights +
+    [E, K/128, N/128] f32 scales (DeepSeek-style), acts qdq'd
+    per-128-group; ``mxfp4_fp8`` = mxfp4 weights, acts qdq'd per-tensor
+    fp8.  One deviation from the reference's ref impl: per-tensor act
+    amax is over the WHOLE batch, not each expert's token slice — the
+    TPU pipeline has no per-expert slices (tokens are block-gathered),
+    and both tiers here use the same contract.
     """
     t, d = hidden_states.shape
     e_local = w13.shape[0]
@@ -524,6 +538,33 @@ def tpu_fused_moe(
 
     inter2 = w13.shape[-1]
     act = (_ACTS_HALVES if gate_up_layout == "halves" else _ACTS)[activation]
+
+    # activation-quantizing recipes: qdq the rows entering each GEMM
+    # (reference qdq_act, ref_moe_utils.py:166-188), identical in both
+    # tiers so the kernel/golden pair stays comparable
+    act_qdq = None
+    if quant == "mxfp4_fp8":
+        def act_qdq(x):
+            from vllm_xpu_kernels_tpu.ops.quant import (
+                dynamic_scaled_fp8_quant)
+
+            q, s = dynamic_scaled_fp8_quant(x)
+            return (q.astype(jnp.float32) * s).astype(x.dtype)
+
+        quant = "mxfp4"        # weight format is identical to mxfp4
+        if group_size == 0:
+            group_size = 32
+    elif quant in ("mxfp8", "fp8_block"):
+        _g_act = 32 if quant == "mxfp8" else 128
+        _ue8 = quant == "mxfp8"
+
+        def act_qdq(x, _g=_g_act, _u=_ue8):
+            from vllm_xpu_kernels_tpu.ops.quant import (
+                per_token_group_fp8_quant)
+
+            q, s = per_token_group_fp8_quant(x, _g, scale_ue8m0=_u)
+            return (q.astype(jnp.float32)
+                    * jnp.repeat(s, _g, axis=-1)).astype(x.dtype)
 
     if use_pallas():
         from vllm_xpu_kernels_tpu.kernels import grouped_matmul as gmm
@@ -563,6 +604,21 @@ def tpu_fused_moe(
         expert_blk = jnp.where(blk_start < total[0], expert_blk, -1)
         src_rows = jnp.clip(sorted_ids // k, 0, t - 1)
         a_sorted = jnp.take(hidden_states, src_rows, axis=0)
+        if act_qdq is not None:
+            a_sorted = act_qdq(a_sorted)
+        # mxfp8 / fp8_block route to the grouped kernel's K-grouped fp8
+        # scale path; block-fp8's [E, K/128, N/128] scales expand their
+        # N-groups host-side (scale-shape work only)
+        gmm_quant, gmm_g = quant, group_size
+        w13_s, w2_s = w13_scales, w2_scales
+        if quant in ("mxfp8", "fp8_block"):
+            gmm_quant = "fp8"
+            gmm_g = 32 if quant == "mxfp8" else 128
+            if quant == "fp8_block":
+                w13_s = jnp.repeat(w13_scales.astype(jnp.float32),
+                                   inter2 // w13_scales.shape[-1], axis=-1)
+                w2_s = jnp.repeat(w2_scales.astype(jnp.float32),
+                                  d // w2_scales.shape[-1], axis=-1)
         # routing weights fold into the second GEMM's epilogue
         flat = jnp.clip(sorted_ids, 0, t * k)     # t*k == padding sentinel
         wflat = jnp.concatenate(
@@ -584,8 +640,8 @@ def tpu_fused_moe(
         else:
             g1 = gmm.grouped_matmul_pallas(
                 a_sorted, w13, expert_blk,
-                scales=w13_scales, bias=w13_bias, quant=quant,
-                group_size=group_size, block_m=bm,
+                scales=w13_s, bias=w13_bias, quant=gmm_quant,
+                group_size=gmm_g, block_m=bm,
                 out_dtype=hidden_states.dtype)
         if gemm1_clamp_limit is not None and gemm1_clamp_limit > 0:
             inter = inter2 // 2
@@ -609,11 +665,13 @@ def tpu_fused_moe(
                 out_dtype=jnp.float32)
         else:
             a2 = act(g1)
+            if act_qdq is not None:
+                a2 = act_qdq(a2)
             g2 = gmm.grouped_matmul_pallas(
                 a2, w2, expert_blk,
-                scales=w2_scales, bias=w2_bias, quant=quant,
+                scales=w2_s, bias=w2_bias, quant=gmm_quant,
                 row_scales=wflat, bias_first=True,
-                group_size=group_size, block_m=bm,
+                group_size=gmm_g, block_m=bm,
                 out_dtype=jnp.float32)
         # unweighted scatter-reduce back to token order (weights already
         # applied in the GEMM2 epilogue; padding rows carry weight 0)
@@ -624,6 +682,8 @@ def tpu_fused_moe(
     # ---- reference path -------------------------------------------------
     remapped, rows_per_expert, inv, _ = remap_hidden_states(
         hidden_states, topk_ids, num_experts, e_local, expert_map)
+    if act_qdq is not None:
+        remapped = act_qdq(remapped)
     if quant == "none":
         deq13, deq2 = w13, w2
         s13 = s2 = None
@@ -656,6 +716,8 @@ def tpu_fused_moe(
         up = jnp.clip(g1[:, inter:], -gemm1_clamp_limit, gemm1_clamp_limit)
         g1 = jnp.concatenate([gate, up], axis=-1)
     a2 = act(g1)
+    if act_qdq is not None:
+        a2 = act_qdq(a2)
     g2 = grouped_gemm(a2, deq2, rows_per_expert, scales=s2, bias=w2_bias,
                       out_dtype=hidden_states.dtype)
     return moe_gather(g2, topk_weights, inv, e_local)
@@ -665,6 +727,25 @@ def _dequant_moe_weights(w, scales, quant, group_size):
     """[E, K(/2), N] packed -> [E, K, N] f32 dequantized (ref path)."""
     from vllm_xpu_kernels_tpu.kernels import quant_matmul as qmm
 
+    if quant == "mxfp8":
+        # fp8 weights + [E, K/32, N] UE8M0 group scales (reference:
+        # ref_moe_utils.py:76-78 dequant_mxfp8_wei)
+        s = scales
+        if s.dtype == jnp.uint8:
+            from vllm_xpu_kernels_tpu.utils import quant_math as _qm
+
+            s = _qm.e8m0_decode(s)
+        g = w.shape[1] // s.shape[1]
+        return w.astype(jnp.float32) * jnp.repeat(
+            s.astype(jnp.float32), g, axis=1)
+    if quant == "fp8_block":
+        # fp8 weights + [E, K/128, N/128] f32 block scales (reference:
+        # ref_moe_utils.py:139-146 dequant_fp8_block_wei)
+        gk = w.shape[1] // scales.shape[1]
+        gn = w.shape[2] // scales.shape[2]
+        s = jnp.repeat(jnp.repeat(scales.astype(jnp.float32), gk, axis=1),
+                       gn, axis=2)
+        return w.astype(jnp.float32) * s
     if quant == "fp8":
         s = scales.astype(jnp.float32)
         if s.ndim == 1:
