@@ -10,9 +10,13 @@ on per-device shards, and XLA collectives (`psum`, `all_gather`,
 
 from vllm_xpu_kernels_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    make_hybrid_mesh,
+    initialize_multihost,
+    host_local_replica_groups,
     AXIS_DP,
     AXIS_TP,
     AXIS_EP,
+    AXIS_DCN,
     tp_psum,
     shard_leading,
     replicate,
