@@ -62,7 +62,7 @@ def main():
     # work (every step still does the full weight+KV stream).
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--quant", default="w8a8",
-                    choices=["fp8", "int8", "w8a8", "w4a8"])
+                    choices=["fp8", "int8", "w8a8", "w4a8", "fp8-int8"])
     ap.add_argument("--kv-dtype", default="bf16",
                     choices=["bf16", "e5m2", "e4m3"],
                     help="KV-cache dtype (fp8 halves KV bytes; e5m2 has "
@@ -162,10 +162,12 @@ def main():
     e, l_, i = cfg.hidden_size, cfg.num_layers, cfg.intermediate_size
     hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
     wbytes_layer = (e * (hq + 2 * hkv) * d + hq * d * e + 3 * e * i)
-    wpb = {"fp8": 1, "int8": 1, "w8a8": 1, "w4a8": 0.5}.get(cfg.quant, 2)
+    wpb = {"fp8": 1, "int8": 1, "w8a8": 1, "w4a8": 0.5,
+           "fp8-int8": 1}.get(cfg.quant, 2)
     wbytes = l_ * wbytes_layer * wpb
     # logits head: int8 when pre-quantized (lm_head_q), else bf16
-    wbytes += cfg.vocab_size * e * (1 if cfg.quant in ("w8a8", "w4a8") else 2)
+    wbytes += cfg.vocab_size * e * (
+        1 if cfg.quant in ("w8a8", "w4a8", "fp8-int8") else 2)
     kvb = 1 if args.kv_dtype != "bf16" else 2
     kv_bytes = (np.minimum(args.kv_len + args.steps, max_k) * kvb * hkv * d
                 * 2 * l_ * args.batch)  # k+v, whole batch

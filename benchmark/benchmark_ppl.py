@@ -74,7 +74,7 @@ def nll_stream(cfg, params, tokens, seq_len, prefill_step, jnp, jax):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quant", default="w8a8",
-                    choices=["fp8", "int8", "w8a8", "w4a8", "mxfp4"])
+                    choices=["fp8", "int8", "w8a8", "w4a8", "mxfp4", "fp8-int8"])
     ap.add_argument("--seq-len", type=int, default=512)
     ap.add_argument("--n-tokens", type=int, default=2048)
     ap.add_argument("--small", action="store_true")

@@ -235,6 +235,111 @@ def test_gdn_attention_head_shapes(nk, nv, hk, hv, impl):
                     atol=4e-2 * max(1.0, np.abs(g_ss).max()))
 
 
+@pytest.mark.parametrize("width", [2, 4])
+@pytest.mark.parametrize("has_bias", [False, True])
+@pytest.mark.parametrize("dtype", ["bfloat16", "float16"])
+def test_gdn_attention_matrix(width, has_bias, dtype, impl):
+    """Reference sweep axes beyond the mixed-batch cases: conv width
+    {2,4} x bias {on,off} x input dtype {bf16,f16} over a mixed
+    prefill/spec/decode batch (reference tests/gdn_attn/test_gdn_attn.py
+    WIDTH/HAS_BIAS/DTYPES grids)."""
+    nk, nv, hk, hv, w = 2, 4, 16, 32, width
+    rep = nv // nk
+    c = nk * (2 * hk + rep * hv)
+    seq_lens, has_init = [9, 2, 1], [False, True, True]
+    t_total = sum(seq_lens)
+    rng = np.random.default_rng(21 + width)
+    qkvz = rng.standard_normal(
+        (t_total, nk * (2 * hk + 2 * rep * hv))).astype(np.float32) * 0.5
+    ba = rng.standard_normal((t_total, nk * 2 * rep)).astype(np.float32)
+    conv_state = rng.standard_normal((6, w - 1, c)).astype(np.float32)
+    ssm_state = rng.standard_normal((6, nv, hv, hk)).astype(np.float32) * 0.3
+    conv_w = rng.standard_normal((c, w)).astype(np.float32) * 0.3
+    conv_b = (rng.standard_normal(c).astype(np.float32) * 0.1
+              if has_bias else None)
+    A_log = rng.standard_normal(nv).astype(np.float32) * 0.3
+    dt_bias = rng.standard_normal(nv).astype(np.float32) * 0.3
+    qsl = np.concatenate([[0], np.cumsum(seq_lens)]).astype(np.int32)
+    state_idx = np.arange(len(seq_lens), dtype=np.int32) + 1
+    hinit = np.asarray(has_init)
+    g_out, g_z, g_cs, g_ss = np_gdn_golden(
+        qkvz, ba, conv_state, ssm_state, conv_w, conv_b, A_log, dt_bias,
+        qsl, state_idx, hinit, nk, nv, hk, hv)
+    jdt = jnp.dtype(dtype)
+    out, z, cs, ss = ops.gdn_attention(
+        jnp.asarray(qkvz, jdt), jnp.asarray(ba, jdt),
+        jnp.asarray(conv_state), jnp.asarray(ssm_state),
+        jnp.asarray(conv_w),
+        None if conv_b is None else jnp.asarray(conv_b),
+        jnp.asarray(A_log), jnp.asarray(dt_bias),
+        jnp.asarray(qsl), jnp.asarray(state_idx), jnp.asarray(hinit),
+        num_k_heads=nk, num_v_heads=nv, head_k_dim=hk, head_v_dim=hv,
+        max_seqlen=max(seq_lens))
+    tol = 4e-2 if dtype == "bfloat16" else 2e-2
+    assert_allclose(out, g_out, rtol=tol,
+                    atol=tol * max(1.0, np.abs(g_out).max()))
+    assert_allclose(z, g_z, rtol=tol, atol=tol)
+    assert_allclose(np.asarray(ss)[state_idx], g_ss[state_idx], rtol=tol,
+                    atol=tol * max(1.0, np.abs(g_ss).max()))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_gdn_attention_randomized_spec_mixes(seed, impl):
+    """Randomized spec-decode batch compositions (the reference's 937-LoC
+    suite hammers prefill/decode/spec mixes; this is the property form):
+    random mixes of long continuations, K-token draft windows, single
+    decodes, and fresh prefills — chunked path vs the numpy recurrence."""
+    rng = np.random.default_rng(100 + seed)
+    nk, nv, hk, hv, w = 2, 4, 16, 32, 4
+    rep = nv // nk
+    c = nk * (2 * hk + rep * hv)
+    kinds = rng.integers(0, 4, rng.integers(3, 7))
+    seq_lens, has_init = [], []
+    for kk in kinds:
+        if kk == 0:
+            seq_lens.append(int(rng.integers(30, 90)))   # continuation
+            has_init.append(True)
+        elif kk == 1:
+            seq_lens.append(int(rng.integers(2, 6)))     # spec drafts
+            has_init.append(True)
+        elif kk == 2:
+            seq_lens.append(1)                           # decode
+            has_init.append(True)
+        else:
+            seq_lens.append(int(rng.integers(5, 40)))    # fresh prefill
+            has_init.append(False)
+    t_total = sum(seq_lens)
+    qkvz = rng.standard_normal(
+        (t_total, nk * (2 * hk + 2 * rep * hv))).astype(np.float32) * 0.5
+    ba = rng.standard_normal((t_total, nk * 2 * rep)).astype(np.float32)
+    n_state = len(seq_lens) + 2
+    conv_state = rng.standard_normal((n_state, w - 1, c)).astype(np.float32)
+    ssm_state = rng.standard_normal(
+        (n_state, nv, hv, hk)).astype(np.float32) * 0.3
+    conv_w = rng.standard_normal((c, w)).astype(np.float32) * 0.3
+    conv_b = rng.standard_normal(c).astype(np.float32) * 0.1
+    A_log = rng.standard_normal(nv).astype(np.float32) * 0.3
+    dt_bias = rng.standard_normal(nv).astype(np.float32) * 0.3
+    qsl = np.concatenate([[0], np.cumsum(seq_lens)]).astype(np.int32)
+    perm = rng.permutation(n_state)[:len(seq_lens)].astype(np.int32)
+    hinit = np.asarray(has_init)
+    g_out, g_z, g_cs, g_ss = np_gdn_golden(
+        qkvz, ba, conv_state, ssm_state, conv_w, conv_b, A_log, dt_bias,
+        qsl, perm, hinit, nk, nv, hk, hv)
+    out, z, cs, ss = ops.gdn_attention(
+        jnp.asarray(qkvz, jnp.bfloat16), jnp.asarray(ba, jnp.bfloat16),
+        jnp.asarray(conv_state), jnp.asarray(ssm_state),
+        jnp.asarray(conv_w), jnp.asarray(conv_b),
+        jnp.asarray(A_log), jnp.asarray(dt_bias),
+        jnp.asarray(qsl), jnp.asarray(perm), jnp.asarray(hinit),
+        num_k_heads=nk, num_v_heads=nv, head_k_dim=hk, head_v_dim=hv,
+        max_seqlen=max(seq_lens))
+    assert_allclose(out, g_out, rtol=5e-2,
+                    atol=5e-2 * max(1.0, np.abs(g_out).max()))
+    assert_allclose(np.asarray(ss)[perm], g_ss[perm], rtol=5e-2,
+                    atol=5e-2 * max(1.0, np.abs(g_ss).max()))
+
+
 @pytest.mark.parametrize("seq_lens,chunk", [
     ([70, 1, 130], 64),   # crosses chunk boundaries, mixed batch
     ([64], 64),           # exact chunk

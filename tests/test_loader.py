@@ -224,6 +224,36 @@ def test_qwen_save_load_roundtrip(tmp_path, variant):
                            _decode_logits(cfg2, ablated))
 
 
+def test_fp8_transcode_w8a8():
+    """fp8-int8: an FP8 checkpoint's e4m3 codes transcode to int8 +
+    per-channel scale (quantization.repack.fp8_transcode_w8a8) and serve
+    on the w8a8 tree; the combined e4m3+int8 error stays bounded and the
+    decode step runs the native-s8 path."""
+    import dataclasses
+    import jax.numpy as jnp
+    from vllm_xpu_kernels_tpu.models.llama import quantize_linear
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((128, 96)).astype(np.float32) * 0.1
+    p = quantize_linear(jnp.asarray(w), "fp8-int8")
+    assert set(p) == {"w", "s8"} and p["w"].dtype == jnp.int8
+    deq = np.asarray(p["w"], np.float32) * np.asarray(p["s8"])[None, :]
+    # e4m3 alone is ~6% relative near max; transcode adds <= one int8
+    # step (colmax/127)
+    err = np.abs(deq - w)
+    bound = 0.07 * np.abs(w) + 1.5 * np.abs(w).max(0)[None, :] / 127.0
+    assert (err <= bound).all()
+
+    cfg_q = _tiny_cfg("fp8-int8")
+    params_q = init_params(cfg_q, jax.random.PRNGKey(2))
+    assert "s8" in params_q["layers"][0]["wqkv"]
+    assert "lm_head_q" in params_q
+    lq = _decode_logits(cfg_q, params_q)
+    lf = _decode_logits(_tiny_cfg("none"),
+                        init_params(_tiny_cfg("none"), jax.random.PRNGKey(2)))
+    np.testing.assert_allclose(lq, lf, rtol=0.12, atol=0.12)
+
+
 @pytest.mark.parametrize("quant", ["w8a8", "w4a8", "mxfp4"])
 def test_quantize_params_in_memory(quant):
     """models.llama.quantize_params (in-memory quantize of a bf16 tree,

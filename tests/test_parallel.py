@@ -222,6 +222,78 @@ def test_tp_model_matches_single_device():
                     rtol=3e-2, atol=3e-1)
 
 
+def test_tp_prefill_overlap_flag(monkeypatch):
+    """VXK_TP_OVERLAP wires parallel/overlap's chunked row-parallel
+    schedule into the TP prefill path: logits stay EXACT vs the
+    unchunked step, and the compiled HLO carries more all-reduce ops
+    (the C-1 overlap windows the latency-hiding scheduler needs —
+    docs/overlap_design.md; VERDICT weak #5)."""
+    import re
+
+    from vllm_xpu_kernels_tpu.models import (
+        LlamaConfig, init_params, init_kv_cache, prefill_step)
+    from vllm_xpu_kernels_tpu.models.llama import (
+        param_tp_specs, kv_cache_tp_spec, params_for_tp)
+    from vllm_xpu_kernels_tpu.parallel import make_mesh
+
+    tp = 4
+    cfg = LlamaConfig(
+        hidden_size=128, num_layers=2, num_q_heads=8, num_kv_heads=4,
+        head_dim=32, intermediate_size=256, vocab_size=512,
+        max_position=512, quant="none", block_size=16)
+    cfg_local = cfg.tp_slice(tp)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    lens = [160, 160]                      # 320 rows >= overlap threshold
+    t = sum(lens)
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, t), jnp.int32)
+    positions = jnp.concatenate(
+        [jnp.arange(n, dtype=jnp.int32) for n in lens])
+    cu_q = jnp.asarray(np.cumsum([0] + lens), jnp.int32)
+    nb_per = -(-max(lens) // cfg.block_size)
+    tbl = jnp.asarray(
+        np.arange(2 * nb_per).reshape(2, nb_per).astype(np.int32))
+    slots = jnp.concatenate([
+        tbl[i, positions[cu_q[i]:cu_q[i + 1]] // cfg.block_size]
+        * cfg.block_size + positions[cu_q[i]:cu_q[i + 1]]
+        % cfg.block_size for i in range(2)])
+    kv_lens = jnp.asarray(lens, jnp.int32)
+    nb = 2 * nb_per
+
+    mesh = make_mesh(dp=1, tp=tp, devices=jax.devices()[:tp])
+    pspecs = param_tp_specs(cfg)
+    cspec = kv_cache_tp_spec()
+    rep = P()
+
+    def step(p, tok, pos, cu, slots, tbl, kvl, kc, vc):
+        logits, _, _ = prefill_step(
+            cfg_local, p, tok, pos, cu, slots, tbl, kvl, kc, vc,
+            max_seqlen_q=160, max_seqlen_k=160, tp_axis="tp",
+            fresh_prefill=True)
+        return logits
+
+    sharded = jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(pspecs, rep, rep, rep, rep, rep, rep, cspec, cspec),
+        out_specs=rep, check_rep=False))
+    p_tp = params_for_tp(params, cfg, tp)
+
+    def run():
+        kc, vc = init_kv_cache(cfg, nb)
+        args = (p_tp, tok, positions, cu_q, slots, tbl, kv_lens, kc, vc)
+        compiled = sharded.lower(*args).compile()
+        out = np.asarray(compiled(*args), np.float32)
+        n_ar = len(re.findall(r"all-reduce", compiled.as_text()))
+        return out, n_ar
+
+    base, ar_off = run()
+    monkeypatch.setenv("VXK_TP_OVERLAP", "4")
+    sharded.clear_cache()
+    chunked, ar_on = run()
+    assert_allclose(chunked, base, rtol=2e-3, atol=2e-3)
+    assert ar_on > ar_off, (ar_on, ar_off)
+
+
 def test_ep_fused_moe_matches_single_device():
     """shard_mapped expert-parallel MoE == single-device fused MoE."""
     from vllm_xpu_kernels_tpu import ops

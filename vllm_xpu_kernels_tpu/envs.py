@@ -139,6 +139,17 @@ VXK_EP_A2A_CF = _register(
     "Raise for skewed routers (fewer drops, more ICI bytes); the "
     "dropped-slot count is returned via return_dropped=True.")
 
+VXK_TP_OVERLAP = _register(
+    "VXK_TP_OVERLAP", int, 0,
+    "Chunk count for overlapped row-parallel TP matmuls in the model "
+    "layer (models/llama._linear): >1 splits each reduce_out GEMM's N "
+    "dimension into that many independent (GEMM -> psum) pairs on "
+    "prefill-sized batches (>= 256 rows), giving XLA's latency-hiding "
+    "scheduler chunk i's psum to fly under chunk i+1's GEMM "
+    "(parallel/overlap.py; docs/overlap_design.md).  0/1 = off "
+    "(default: XLA's all-reduce combiner re-merges sub-threshold "
+    "chunks, so overlap pays only at prefill sizes on real ICI).")
+
 VXK_DEBUG_LOG = _register(
     "VXK_DEBUG_LOG", _bool, False,
     "Verbose engine logging (analogue of XPUMEM_DEBUG_LOG_METADATA).")

@@ -43,7 +43,7 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     max_position: int = 8192
     dtype: str = "bfloat16"
-    quant: str = "none"   # none | fp8 | int8 | mxfp4 (weight-only) | w8a8 | w4a8
+    quant: str = "none"   # none|fp8|int8|mxfp4 (weight-only)|w8a8|w4a8|fp8-int8
     block_size: int = 128        # KV page size (TPU tiling-friendly)
     qkv_bias: bool = False       # Qwen2-style bias on the qkv projection
     qk_norm: bool = False        # Qwen3-style per-head RMSNorm on q/k
@@ -107,6 +107,18 @@ def quantize_linear(w, quant, dtype=jnp.bfloat16):
         s = (absmax / 127.0).astype(jnp.float32)
         q = jnp.clip(jnp.round(w / s[None, :]), -127, 127).astype(jnp.int8)
         return {"w": q, ("s8" if quant == "w8a8" else "s"): s}
+    if quant == "fp8-int8":
+        # FP8-checkpoint serving at int8 speed: quantize to e4m3 exactly
+        # as an FP8 checkpoint stores it, then LOSSY-transcode the codes
+        # to int8 + per-channel scale so serving runs on the native-s8
+        # w8a8 kernels (740 GB/s weight stream) instead of the 369 GB/s
+        # e4m3 upcast ceiling (docs/quant_recipes.md).  Certified by the
+        # Δnll gate in BASELINE.md; e4m3-exact weight-only ('fp8') stays
+        # the lossless option.  Ref role: fp8_gemm_w8a16.h:13-99.
+        from vllm_xpu_kernels_tpu.quantization.repack import (
+            fp8_transcode_w8a8)
+
+        return fp8_transcode_w8a8(quantize_linear(w, "fp8"))
     if quant == "w4a8":
         # symmetric int4 weights (split-K packed) + per-group scales;
         # activations are dynamically per-token int8-quantized at runtime
@@ -160,7 +172,40 @@ def _linear(x, p, tp_axis=None, reduce_out=False, lora=None, a_q=None,
     ``a_q=(q_int8, scales)``: pre-quantized activations from a fused
     norm-quant / act-quant producer (w8a8 only; ``x`` may be None then —
     LoRA needs the bf16 activations, so callers keep x when lora is on).
+
+    ``VXK_TP_OVERLAP=C`` (C>1): row-parallel (reduce_out) GEMMs on
+    prefill-sized batches split their N dimension into C independent
+    (GEMM -> psum) pairs so chunk i's all-reduce overlaps chunk i+1's
+    GEMM under XLA's latency-hiding scheduler
+    (parallel/overlap.row_parallel_matmul_overlapped generalized to the
+    quant recipes; exact — same contractions, same f32 psums).
     """
+    if reduce_out and tp_axis is not None and lora is None:
+        from vllm_xpu_kernels_tpu.envs import VXK_TP_OVERLAP
+
+        c = VXK_TP_OVERLAP()
+        rows = (x.shape[0] if x is not None else a_q[0].shape[0])
+        if c > 1 and rows >= 256:
+            n = p["w"].shape[-1]
+            while n % c:
+                c -= 1
+            if c > 1:
+                if "s8" in p and a_q is None:
+                    a_q = ops.dynamic_per_token_scaled_int8_quant(x)
+                cw = n // c
+                outs = []
+                for i in range(c):
+                    pi = {k: (v if v.shape[-1] != n else
+                              jax.lax.slice_in_dim(v, i * cw, (i + 1) * cw,
+                                                   axis=v.ndim - 1))
+                          for k, v in p.items() if k != "b"}
+                    oi = _linear(x, pi, tp_axis=None, reduce_out=False,
+                                 a_q=a_q, out_dtype=out_dtype)
+                    outs.append(tp_psum(oi.astype(jnp.float32), tp_axis))
+                out = jnp.concatenate(outs, axis=-1)
+                if "b" in p:
+                    out = out + p["b"].astype(jnp.float32)
+                return out.astype(out_dtype if x is None else x.dtype)
     if "s8" in p:
         # w8a8: dynamic per-token int8 activations, native MXU int8 matmul
         if a_q is not None:
@@ -274,7 +319,7 @@ def init_params(cfg: LlamaConfig, key=None):
         "final_ln": jnp.ones((e,), cfg.jdtype),
         "rope": _rope_cache(cfg),
     }
-    if cfg.quant in ("w8a8", "w4a8"):
+    if cfg.quant in ("w8a8", "w4a8", "fp8-int8"):
         # per-vocab-channel int8 logits head: halves the largest single
         # weight read of the decode step (vocab*E bf16); the bf16 embed
         # stays for token-row lookups.
@@ -301,7 +346,7 @@ def quantize_params(cfg_q: LlamaConfig, params):
                     q["b"] = lp[name]["b"]
                 nlp[name] = q
         out["layers"].append(nlp)
-    if cfg_q.quant in ("w8a8", "w4a8") and "lm_head_q" not in out:
+    if cfg_q.quant in ("w8a8", "w4a8", "fp8-int8") and "lm_head_q" not in out:
         # vocab-sized f32 temporaries of a whole-matrix quantize OOM a
         # chip that's already holding two model copies — chunk columns
         et = params["embed"].T
@@ -347,8 +392,8 @@ def param_tp_specs(cfg: LlamaConfig, tp_axis: str = "tp",
 
     col = {"w": P(None, tp_axis)}
     row = {"w": P(tp_axis, None)}
-    if cfg.quant in ("fp8", "int8", "w8a8"):
-        sk = "s8" if cfg.quant == "w8a8" else "s"
+    if cfg.quant in ("fp8", "int8", "w8a8", "fp8-int8"):
+        sk = "s" if cfg.quant in ("fp8", "int8") else "s8"
         col = {"w": P(None, tp_axis), sk: P(tp_axis)}
         row = {"w": P(tp_axis, None), sk: P()}
     elif cfg.quant == "mxfp4":
@@ -377,7 +422,7 @@ def param_tp_specs(cfg: LlamaConfig, tp_axis: str = "tp",
     }
     if untied_head:
         tree["lm_head"] = P()
-    if cfg.quant in ("w8a8", "w4a8"):
+    if cfg.quant in ("w8a8", "w4a8", "fp8-int8"):
         tree["lm_head_q"] = {"w": P(), "s8": P()}
     return tree
 

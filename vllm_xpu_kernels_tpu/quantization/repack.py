@@ -127,3 +127,33 @@ def pack_fp4_splitk(codes: np.ndarray, group_size: int = 32) -> np.ndarray:
     """[K, N] e2m1 codes -> [K/2, N] per-group split-K packed int8 (weights
     for fp4_gemm; MX group size 32)."""
     return pack_int4_splitk(codes, group_size)
+
+
+def fp8_transcode_w8a8(p):
+    """FP8-checkpoint linear ({'w': e4m3 [K, N], 's': [N] f32}) ->
+    w8a8-served tree ({'w': int8, 's8': [N] f32}): serve FP8 checkpoints
+    at the 740 GB/s native-int8 weight stream instead of the 369 GB/s
+    e4m3 in-GEMM upcast ceiling (docs/quant_recipes.md; reference role:
+    csrc/xpu/onednn/fp8_gemm_w8a16.h:13-99).
+
+    LOSSY (int8 is a uniform grid, e4m3 a log one), but per COLUMN the
+    stored scale cancels: codes' = round(q_e4m3 * 127 / max|q_e4m3|_col),
+    s8 = max|q_e4m3|_col * s / 127 — the transcode touches only the e4m3
+    code magnitudes, so any per-channel-scaled checkpoint transcodes
+    identically.  Certified against the <=0.1-Δppl gate in BASELINE.md;
+    keep quant='fp8' (exact e4m3 weight-only) when losslessness matters.
+    Bias and other keys pass through.
+    """
+    import jax.numpy as jnp
+
+    q = p["w"]
+    assert q.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2), q.dtype
+    qf = q.astype(jnp.float32)
+    colmax = jnp.maximum(jnp.max(jnp.abs(qf), axis=0), 1e-8)
+    codes = jnp.clip(jnp.round(qf * (127.0 / colmax)[None, :]),
+                     -127, 127).astype(jnp.int8)
+    s8 = (colmax * p["s"].astype(jnp.float32) / 127.0).astype(jnp.float32)
+    out = {k: v for k, v in p.items() if k not in ("w", "s")}
+    out["w"] = codes
+    out["s8"] = s8
+    return out
