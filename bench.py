@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -95,8 +96,15 @@ def main():
             args.block_size = 128 if args.kv_dtype == "bf16" else 256
         elif args.block_size <= 0:
             ap.error("--block-size must be a positive number of tokens")
+        # gu256 (silu(g)*u fused into GEMM1's epilogue) is the
+        # PREFILL-optimal layout (TTFT 283.4 -> 276.8 ms) but measured
+        # -55 tok/s on the decode step (isolated MLP chains tie at 169
+        # vs 172 us — the loss is a full-step scheduling interaction,
+        # r5 attribution runs) — decode default OFF, VXK_GU256=1 opts in
+        gu = (os.environ.get("VXK_GU256", "0") == "1"
+              and args.quant in ("w8a8", "fp8-int8"))
         cfg = LlamaConfig(quant=args.quant, block_size=args.block_size,
-                          max_position=16384)
+                          max_position=16384, gu256=gu)
 
     bs = cfg.block_size
     blocks_per_seq = -(-(args.kv_len + args.steps + 1) // bs)
@@ -130,14 +138,24 @@ def main():
     kvl_s = jnp.asarray(np.stack([b.kv_lens for b in steps_plan]))
     tbl = jnp.asarray(steps_plan[0].block_table)
 
+    # head_mode="argmax" fuses the lm_head GEMM + greedy argmax in one
+    # kernel — the [B, V] f32 logits (32 MB at 8B batch 32) never round-
+    # trip HBM.  Measured +6 tok/s (1765.7 -> 1772.0, r5); default ON
+    # for int8-head recipes, VXK_FUSED_ARGMAX=0 disables.
+    fused_argmax = (os.environ.get("VXK_FUSED_ARGMAX", "1") == "1"
+                    and cfg.quant in ("w8a8", "w4a8", "fp8-int8")
+                    and not args.small)
+
     def multi_step(p, tok0, pos_s, slot_s, kvl_s, tbl, kc, vc):
         def body(carry, xs):
             tok, kc, vc = carry
             pos, slots, kvl = xs
-            logits, kc, vc = decode_step(
+            out, kc, vc = decode_step(
                 cfg, p, tok, pos, slots, tbl, kvl, kc, vc,
-                max_seqlen_k=max_k, k_scale=kv_scale, v_scale=kv_scale)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                max_seqlen_k=max_k, k_scale=kv_scale, v_scale=kv_scale,
+                head_mode="argmax" if fused_argmax else "logits")
+            nxt = (out if fused_argmax
+                   else jnp.argmax(out, axis=-1).astype(jnp.int32))
             return (nxt, kc, vc), None
         (tok, kc, vc), _ = jax.lax.scan(
             body, (tok0, kc, vc), (pos_s, slot_s, kvl_s))

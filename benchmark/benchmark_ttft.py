@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--iters", type=int, default=9)
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--quant", default="fp8")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one timed step")
     args = ap.parse_args()
 
     import jax
@@ -43,8 +45,14 @@ def main():
             max_position=2048, quant=args.quant, block_size=16)
         args.batch, args.prompt_len, args.iters = 2, 64, 3
     else:
+        import os as _os
+
+        # gu256: silu(g)*u fused into GEMM1's epilogue — the [T, 2I]
+        # bf16 intermediate (~470 MB/layer at 4x1024) never lands in HBM
+        gu = (_os.environ.get("VXK_GU256", "1") == "1"
+              and args.quant in ("w8a8", "fp8-int8"))
         cfg = LlamaConfig(quant=args.quant, block_size=128,
-                          max_position=16384)
+                          max_position=16384, gu256=gu)
 
     bs = cfg.block_size
     blocks_per_seq = -(-args.prompt_len // bs)
@@ -72,13 +80,16 @@ def main():
     tok = jnp.argmax(logits[jnp.asarray(cu_q[1:]) - 1], axis=-1)
     _ = np.asarray(tok)   # full pipeline incl. first sampled token
 
+    from utils import profile_trace
+
     times = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        logits = step(*argv)
-        tok = jnp.argmax(logits[jnp.asarray(cu_q[1:]) - 1], axis=-1)
-        _ = np.asarray(tok)
-        times.append(time.perf_counter() - t0)
+    with profile_trace(args.trace):
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            logits = step(*argv)
+            tok = jnp.argmax(logits[jnp.asarray(cu_q[1:]) - 1], axis=-1)
+            _ = np.asarray(tok)
+            times.append(time.perf_counter() - t0)
     times.sort()
     p50 = times[len(times) // 2]
     p90 = times[min(len(times) - 1, int(len(times) * 0.9))]

@@ -351,3 +351,51 @@ def test_fp8_planes_preperm_matches():
         b_preperm=True))
     assert_allclose(got, base, rtol=1e-3,
                     atol=1e-3 * max(1.0, np.abs(base).max()))
+
+
+def test_int8_gemm_w8a8_silu_mul(impl):
+    """Gated-act-epilogue GEMM over the gu256 layout == dequantized
+    GEMM + silu_and_mul on the plain [gate | up] layout, both tiers;
+    output columns come out in PLAIN order."""
+    from vllm_xpu_kernels_tpu import ops
+    from vllm_xpu_kernels_tpu.kernels.quant_matmul import gu256_perm
+
+    rng = np.random.default_rng(17)
+    M, K, inter = 24, 128, 512
+    N = 2 * inter
+    a = rng.integers(-127, 128, (M, K)).astype(np.int8)
+    w = rng.integers(-127, 128, (K, N)).astype(np.int8)
+    a_s = (rng.random(M) * 0.02 + 0.005).astype(np.float32)
+    b_s = (rng.random(N) * 0.02 + 0.005).astype(np.float32)
+    # plain-layout golden
+    f = (a.astype(np.float64) @ w.astype(np.float64)
+         ) * a_s[:, None] * b_s[None, :]
+    gate, up = f[:, :inter], f[:, inter:]
+    golden = gate / (1 + np.exp(-gate)) * up
+    perm = gu256_perm(inter)
+    out = ops.int8_gemm_w8a8_silu_mul(
+        jnp.asarray(a), jnp.asarray(w[:, perm]), jnp.asarray(a_s),
+        jnp.asarray(b_s[perm]), out_dtype=jnp.float32)
+    assert_allclose(out, golden.astype(np.float32), rtol=2e-2,
+                    atol=2e-2 * max(1.0, np.abs(golden).max()))
+
+
+def test_int8_lm_head_argmax(impl):
+    """Fused lm_head+argmax == argmax of the scaled logits (ties to the
+    lowest index), incl. a non-128-multiple vocab tail."""
+    from vllm_xpu_kernels_tpu.kernels.quant_matmul import (
+        int8_lm_head_argmax_pallas)
+    from vllm_xpu_kernels_tpu.registry import use_pallas
+
+    if not use_pallas():
+        return  # kernel-only helper (the op layer falls back itself)
+    rng = np.random.default_rng(23)
+    M, K, V = 12, 256, 777
+    a = rng.integers(-127, 128, (M, K)).astype(np.int8)
+    w = rng.integers(-127, 128, (K, V)).astype(np.int8)
+    b_s = (rng.random(V) * 0.02 + 0.005).astype(np.float32)
+    ids = np.asarray(int8_lm_head_argmax_pallas(
+        jnp.asarray(a), jnp.asarray(w), jnp.asarray(b_s), block_n=256))
+    logits = (a.astype(np.int64) @ w.astype(np.int64)
+              ).astype(np.float64) * b_s[None, :]
+    np.testing.assert_array_equal(ids, logits.argmax(-1))

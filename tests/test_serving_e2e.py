@@ -188,6 +188,92 @@ def test_quantized_model_decode(quant, impl):
     assert bool(jnp.isfinite(logits).all())
 
 
+@pytest.mark.parametrize("quant", ["w8a8", "fp8-int8"])
+def test_decode_fused_argmax_matches_logits(quant, impl):
+    """head_mode='argmax' (fused int8 lm_head + greedy argmax, no [B, V]
+    logits round trip) emits exactly argmax(logits) in both tiers."""
+    cfg_q = LlamaConfig(
+        hidden_size=128, num_layers=2, num_q_heads=4, num_kv_heads=2,
+        head_dim=32, intermediate_size=256, vocab_size=300,
+        max_position=128, quant=quant, block_size=16)
+    params = init_params(cfg_q, jax.random.PRNGKey(3))
+    kc, vc = init_kv_cache(cfg_q, 16)
+    b = 3
+    tok = jnp.asarray([5, 9, 11], jnp.int32)
+    kv_lens = jnp.full((b,), 9, jnp.int32)
+    positions = kv_lens - 1
+    tbl = jnp.asarray(np.arange(b * 2).reshape(b, 2), jnp.int32)
+    slots = (tbl[:, 0] * 16 + 8).astype(jnp.int32)
+    logits, _, _ = decode_step(
+        cfg_q, params, tok, positions, slots, tbl, kv_lens, kc, vc,
+        max_seqlen_k=32)
+    ids, _, _ = decode_step(
+        cfg_q, params, tok, positions, slots, tbl, kv_lens, kc, vc,
+        max_seqlen_k=32, head_mode="argmax")
+    # the fused kernel skips the per-token activation scale (positive,
+    # argmax-invariant in exact math) — f32 rounding of that multiply can
+    # flip exact ties, so assert the emitted id attains the max logit
+    # rather than index equality
+    lg = np.asarray(logits, np.float32)
+    ids = np.asarray(ids)
+    picked = lg[np.arange(b), ids]
+    top = lg.max(-1)
+    np.testing.assert_allclose(picked, top, rtol=1e-5, atol=1e-5)
+
+
+def test_gu256_decode_matches_plain(impl):
+    """cfg.gu256 (gate/up 256-col interleaved weights + in-epilogue
+    silu(g)*u) == the plain w8a8 path within quant tolerance, single
+    device and TP."""
+    import dataclasses
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from vllm_xpu_kernels_tpu.models.llama import (
+        param_tp_specs, kv_cache_tp_spec, params_for_tp)
+    from vllm_xpu_kernels_tpu.parallel import make_mesh
+
+    cfg = LlamaConfig(
+        hidden_size=128, num_layers=2, num_q_heads=8, num_kv_heads=4,
+        head_dim=32, intermediate_size=512, vocab_size=300,
+        max_position=128, quant="w8a8", block_size=16)
+    cfg_g = dataclasses.replace(cfg, gu256=True)
+    p1 = init_params(cfg, jax.random.PRNGKey(0))
+    p2 = init_params(cfg_g, jax.random.PRNGKey(0))
+    kc, vc = init_kv_cache(cfg, 8)
+    b = 2
+    tok = jnp.asarray([1, 2], jnp.int32)
+    kvl = jnp.full((b,), 20, jnp.int32)
+    pos = kvl - 1
+    tbl = jnp.asarray(np.arange(b * 2).reshape(b, 2), jnp.int32)
+    slots = (tbl[jnp.arange(b), 1] * 16 + 3).astype(jnp.int32)
+    l1, _, _ = decode_step(cfg, p1, tok, pos, slots, tbl, kvl, kc, vc,
+                           max_seqlen_k=32)
+    l2, _, _ = decode_step(cfg_g, p2, tok, pos, slots, tbl, kvl, kc, vc,
+                           max_seqlen_k=32)
+    assert_allclose(l2, np.asarray(l1, np.float32), rtol=3e-2, atol=3e-1)
+
+    # TP: the composite params_for_tp permutation keeps per-rank gu256
+    tp = 2
+    cfg_local = cfg_g.tp_slice(tp)
+    mesh = make_mesh(dp=1, tp=tp, devices=jax.devices()[:tp])
+    rep = P()
+
+    def step(p, tok, pos, slots, tbl, kvl, kc, vc):
+        lg, _, _ = decode_step(cfg_local, p, tok, pos, slots, tbl, kvl,
+                               kc, vc, max_seqlen_k=32, tp_axis="tp")
+        return lg
+
+    sh = shard_map(
+        step, mesh=mesh,
+        in_specs=(param_tp_specs(cfg_g), rep, rep, rep, rep, rep,
+                  kv_cache_tp_spec(), kv_cache_tp_spec()),
+        out_specs=rep, check_rep=False)
+    kc2, vc2 = init_kv_cache(cfg_g, 8)
+    l3 = jax.jit(sh)(params_for_tp(p2, cfg_g, tp), tok, pos, slots, tbl,
+                     kvl, kc2, vc2)
+    assert_allclose(l3, np.asarray(l2, np.float32), rtol=3e-2, atol=3e-1)
+
+
 def test_deepseek_decode():
     """DeepSeek-style MLA + grouped-topk MoE decode step (scaling rope,
     qk_head != v_head through paged attention, shared experts)."""

@@ -150,6 +150,20 @@ VXK_TP_OVERLAP = _register(
     "(default: XLA's all-reduce combiner re-merges sub-threshold "
     "chunks, so overlap pays only at prefill sizes on real ICI).")
 
+VXK_GU256 = _register(
+    "VXK_GU256", _bool, False,
+    "Benchmark-harness switch for LlamaConfig(gu256=True): store wgu "
+    "256-col gate/up-interleaved and fuse silu(g)*u into the GEMM1 "
+    "epilogue (ops.int8_gemm_w8a8_silu_mul).  Prefill-optimal (TTFT "
+    "283.4 -> 276.8 ms); measured -55 tok/s on decode (BASELINE.md r5 "
+    "races), so the decode-dominant default is plain.")
+
+VXK_FUSED_ARGMAX = _register(
+    "VXK_FUSED_ARGMAX", _bool, True,
+    "Greedy decode emits token ids from the fused int8 lm_head+argmax "
+    "kernel (decode_step(head_mode='argmax')) instead of materializing "
+    "[B, V] f32 logits.  +6 tok/s measured; 0 reverts to logits+argmax.")
+
 VXK_DEBUG_LOG = _register(
     "VXK_DEBUG_LOG", _bool, False,
     "Verbose engine logging (analogue of XPUMEM_DEBUG_LOG_METADATA).")

@@ -51,6 +51,10 @@ class LlamaConfig:
     # DMA per page in decode, one row-scatter per cache write (needs
     # 2*head_dim % 128 == 0 — D=64 runs via the kernels' padded-q path;
     # init_kv_cache falls back to split otherwise)
+    gu256: bool = False          # store wgu 256-col gate/up-interleaved
+    # (kernels/quant_matmul.gu256_perm) so GEMM1 applies silu(g)*u in
+    # its epilogue and the [T, 2I] intermediate never touches HBM
+    # (w8a8-family trees only; no LoRA on wgu)
 
     @property
     def jdtype(self):
@@ -153,6 +157,24 @@ def quantize_linear(w, quant, dtype=jnp.bfloat16):
                   ).reshape(fan_in // 2, fan_out).astype(jnp.int8)
         return {"w": packed, "s": s.astype(jnp.float32)}
     return {"w": w.astype(dtype)}
+
+
+def apply_gu256(p, inter: int):
+    """Permute a stored [gate | up] linear-param dict into the gu256
+    256-column-interleaved layout (w8a8-family trees; pure column
+    permutation of w + per-channel scales + bias)."""
+    from vllm_xpu_kernels_tpu.kernels.quant_matmul import gu256_perm
+
+    perm = jnp.asarray(gu256_perm(inter))
+    out = {}
+    for k, v in p.items():
+        if k == "w" or k == "b":
+            out[k] = v[..., perm] if k == "b" else v[:, perm]
+        elif k in ("s", "s8", "s4"):
+            out[k] = v[:, perm] if v.ndim == 2 else v[perm]
+        else:
+            out[k] = v
+    return out
 
 
 def _init_linear(key, fan_in, fan_out, cfg, quant_cols=True):
@@ -276,6 +298,8 @@ def _mx_linear(x, packed, scales):
 def init_params(cfg: LlamaConfig, key=None):
     """Random-initialized parameter pytree (benchmark weights; checkpoint
     loading maps HF tensors onto the same tree)."""
+    assert not cfg.gu256 or cfg.quant in ("w8a8", "fp8-int8"), (
+        "gu256 serves the s8-tree gated-act epilogue only", cfg.quant)
     key = key if key is not None else jax.random.PRNGKey(0)
     e = cfg.hidden_size
     hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
@@ -298,7 +322,10 @@ def init_params(cfg: LlamaConfig, key=None):
             "wqkv": _init_linear(keys[li * n_lin + 0], e,
                                  (hq + 2 * hkv) * d, cfg),
             "wo": _init_linear(keys[li * n_lin + 3], hq * d, e, cfg),
-            "wgu": _init_linear(keys[li * n_lin + 4], e, 2 * i, cfg),
+            "wgu": (apply_gu256(
+                _init_linear(keys[li * n_lin + 4], e, 2 * i, cfg), i)
+                if cfg.gu256
+                else _init_linear(keys[li * n_lin + 4], e, 2 * i, cfg)),
             "wd": _init_linear(keys[li * n_lin + 6], i, e, cfg),
         }
         if cfg.qkv_bias:
@@ -344,6 +371,8 @@ def quantize_params(cfg_q: LlamaConfig, params):
                     cfg_q.jdtype)
                 if "b" in lp[name]:
                     q["b"] = lp[name]["b"]
+                if name == "wgu" and cfg_q.gu256:
+                    q = apply_gu256(q, cfg_q.intermediate_size)
                 nlp[name] = q
         out["layers"].append(nlp)
     if cfg_q.quant in ("w8a8", "w4a8", "fp8-int8") and "lm_head_q" not in out:
@@ -450,7 +479,25 @@ def params_for_tp(params, cfg: LlamaConfig, tp: int):
         return np.asarray(perm, np.int64)
 
     qkv_perm = block_perm([hq * d, hkv * d, hkv * d])
-    gu_perm = block_perm([i, i])
+    if cfg.gu256:
+        # stored layout is gu256(global [g|u]); the target is per-rank
+        # blocks each in gu256 of ITS [g_r|u_r].  Compose the column
+        # maps: target col j holds plain col B[j], stored col s holds
+        # plain col A[s] => gather index perm[j] = A^-1[B[j]].
+        import numpy as np
+        from vllm_xpu_kernels_tpu.kernels.quant_matmul import gu256_perm
+
+        A = gu256_perm(i)
+        inv_A = np.argsort(A)
+        per = i // tp
+        B = []
+        for r in range(tp):
+            base = np.concatenate([np.arange(r * per, (r + 1) * per),
+                                   i + np.arange(r * per, (r + 1) * per)])
+            B.append(base[gu256_perm(per)])
+        gu_perm = inv_A[np.concatenate(B)]
+    else:
+        gu_perm = block_perm([i, i])
 
     def apply(p, perm):
         out = {"w": p["w"][:, perm]}
@@ -627,6 +674,18 @@ def _attention_block(cfg, lp, x, positions, rope, kc_l, vc_l, slot_mapping,
 
 def _mlp_block(cfg, lp, x, tp_axis, lora_layer=None, lora_idx=None,
                a_q=None):
+    if cfg.gu256 and "s8" in lp["wgu"] and lora_layer is None:
+        # gu256 layout: GEMM1's epilogue applies silu(gate)*up in-block
+        # — the [T, 2I] intermediate never lands in HBM
+        if a_q is not None:
+            q, a_s = a_q
+        else:
+            q, a_s = ops.dynamic_per_token_scaled_int8_quant(x)
+        act = ops.int8_gemm_w8a8_silu_mul(
+            q, lp["wgu"]["w"], a_s, lp["wgu"]["s8"])
+        dq, ds = ops.dynamic_per_token_scaled_int8_quant(act)
+        return _linear(None, lp["wd"], tp_axis, reduce_out=True,
+                       a_q=(dq, ds), out_dtype=act.dtype)
     gu = _linear(x, lp["wgu"], a_q=a_q,
                  lora=_lora_for(lora_layer, "wgu", lora_idx))
     if ("s8" in lp["wd"] or "s4" in lp["wd"]) and lora_layer is None:
@@ -642,7 +701,7 @@ def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
                     block_table, kv_lens, cu_q, max_q, max_k,
                     k_cache, v_cache, tp_axis, k_scale=None, v_scale=None,
                     lora_params=None, lora_idx=None, fresh_prefill=False,
-                    mlp_fn=None, decode_tail=0):
+                    mlp_fn=None, decode_tail=0, head_mode="logits"):
     """Shared prefill/decode body over packed tokens [T].
 
     ``mlp_fn(cfg, lp, x, tp_axis)`` replaces the dense gated MLP when a
@@ -696,6 +755,20 @@ def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
     # lm_head when the checkpoint is untied (Llama-3), else tied embed;
     # both replicated across tp so logits already agree.  w8a8 trees carry
     # a pre-quantized int8 head ([E, V] + per-vocab scales).
+    if head_mode == "argmax" and "lm_head_q" in params:
+        from vllm_xpu_kernels_tpu.registry import use_pallas
+
+        if use_pallas():
+            from vllm_xpu_kernels_tpu.kernels.quant_matmul import (
+                int8_lm_head_argmax_pallas)
+
+            hq8, _ = ops.dynamic_per_token_scaled_int8_quant(x)
+            ids = int8_lm_head_argmax_pallas(
+                hq8, params["lm_head_q"]["w"], params["lm_head_q"]["s8"])
+            return ids, k_cache, v_cache
+        logits = _linear(x, params["lm_head_q"]).astype(jnp.float32)
+        return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                k_cache, v_cache)
     if "lm_head_q" in params:
         logits = _linear(x, params["lm_head_q"]).astype(jnp.float32)
     else:
@@ -717,14 +790,21 @@ def decode_step(
     tp_axis: Optional[str] = None,
     k_scale=None, v_scale=None,
     lora_params=None, lora_idx=None,
+    head_mode: str = "logits",   # "logits" | "argmax" (greedy token ids)
 ):
-    """One continuous-batching decode step -> (logits [B, V], caches)."""
+    """One continuous-batching decode step -> (logits [B, V], caches).
+
+    ``head_mode="argmax"`` (greedy serving, int8-head trees): the lm_head
+    GEMM and the argmax fuse into one Pallas kernel and the first return
+    is the token ids [B] int32 — the [B, V] f32 logits (32 MB at 8B
+    batch 32) never touch HBM.  Falls back to logits+argmax when the
+    tree has no int8 head or the ref tier is forced."""
     b = token_ids.shape[0]
     cu_q = jnp.arange(b + 1, dtype=jnp.int32)
     return _forward_tokens(
         cfg, params, token_ids, positions, slot_mapping, block_table,
         kv_lens, cu_q, 1, max_seqlen_k, k_cache, v_cache, tp_axis,
-        k_scale, v_scale, lora_params, lora_idx)
+        k_scale, v_scale, lora_params, lora_idx, head_mode=head_mode)
 
 
 def prefill_step(

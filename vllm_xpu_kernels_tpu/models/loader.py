@@ -164,6 +164,7 @@ def load_llama_params(
     cfg.quant).  Fuses q/k/v and gate/up into the engine's wide-N layout
     and transposes HF's [out, in] into [K, N]."""
     from vllm_xpu_kernels_tpu.models.llama import (_rope_cache,
+                                                   apply_gu256,
                                                    quantize_linear)
 
     quant = cfg.quant if quant is None else quant
@@ -191,8 +192,12 @@ def load_llama_params(
                            p + "self_attn.k_proj.weight",
                            p + "self_attn.v_proj.weight"),
             "wo": linear(p + "self_attn.o_proj.weight"),
-            "wgu": linear(p + "mlp.gate_proj.weight",
-                          p + "mlp.up_proj.weight"),
+            "wgu": (apply_gu256(
+                linear(p + "mlp.gate_proj.weight",
+                       p + "mlp.up_proj.weight"), cfg.intermediate_size)
+                if cfg.gu256 else
+                linear(p + "mlp.gate_proj.weight",
+                       p + "mlp.up_proj.weight")),
             "wd": linear(p + "mlp.down_proj.weight"),
         }
         if cfg.qkv_bias and ck.has(p + "self_attn.q_proj.bias"):
@@ -273,6 +278,10 @@ def save_llama_hf(params, cfg, path: str):
                 lp["knorm"], np.float32)
         out[p + "self_attn.o_proj.weight"] = deq(lp["wo"]).T.copy()
         gu = deq(lp["wgu"])
+        if cfg.gu256:
+            from vllm_xpu_kernels_tpu.kernels.quant_matmul import gu256_perm
+
+            gu = gu[:, np.argsort(gu256_perm(i))]   # back to [gate | up]
         out[p + "mlp.gate_proj.weight"] = gu[:, :i].T.copy()
         out[p + "mlp.up_proj.weight"] = gu[:, i:].T.copy()
         out[p + "mlp.down_proj.weight"] = deq(lp["wd"]).T.copy()

@@ -66,6 +66,7 @@ from vllm_xpu_kernels_tpu.ops.gemm import (  # noqa: F401
     fp8_gemm,
     fp8_gemm_w8a16,
     int8_gemm_w8a8,
+    int8_gemm_w8a8_silu_mul,
     int4_gemm_w4a16,
     int4_gemm_w4a8,
     fp4_gemm,

@@ -289,6 +289,50 @@ def int8_gemm_w8a8(
     return _unflatten(out.astype(out_dtype), lead)
 
 
+@register_op("int8_gemm_w8a8_silu_mul", "gemm")
+def int8_gemm_w8a8_silu_mul(
+    A: jax.Array,
+    B: jax.Array,                       # [K, 2I] in the gu256 layout
+    A_scale: Optional[jax.Array] = None,
+    B_scale: Optional[jax.Array] = None,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """W8A8 gated-MLP GEMM1 with the activation fused into the epilogue:
+    ``silu(gate) * up`` -> [..., I] bf16, where ``B`` stores the fused
+    [gate | up] weight 256-column interleaved (``gu256_perm``) so every
+    GEMM output block holds whole (gate, up) pairs.  The [M, 2I]
+    intermediate never touches HBM — at Llama-3-8B 4k-token prefill that
+    is ~470 MB/layer of eliminated write+read traffic (the reference
+    reaches the same fusion from the other side with its
+    fused_silu_mul_quant kernels, csrc/quantization/fused_kernels/).
+    Output columns come out in PLAIN (un-interleaved) order."""
+    a2, lead = _flatten_batch(A)
+    M, K = a2.shape
+    N = B.shape[1]
+    assert N % 512 == 0, N
+    a_row, a_grp, _ = _classify_a_scale(A_scale, M, K)
+    b_col, b_grp, _ = _classify_b_scale(B_scale, K, N)
+    assert a_grp is None and b_grp is None
+    if use_pallas():
+        from vllm_xpu_kernels_tpu.registry import mosaic_safe_dtype
+
+        out = qmm.int8_matmul_pallas(
+            a2, B, a_row=a_row, b_col=b_col,
+            out_dtype=mosaic_safe_dtype(out_dtype), act_gu=True)
+        return _unflatten(out.astype(out_dtype), lead)
+    f = jnp.dot(a2.astype(jnp.int32), B.astype(jnp.int32),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+    if a_row is not None:
+        f = f * a_row
+    if b_col is not None:
+        f = f * b_col
+    f4 = f.reshape(M, N // 512, 2, 256)
+    gate = f4[:, :, 0, :].reshape(M, N // 2)
+    up = f4[:, :, 1, :].reshape(M, N // 2)
+    out = gate * jax.nn.sigmoid(gate) * up
+    return _unflatten(out.astype(out_dtype), lead)
+
+
 def _int4_dequant_ref(B_packed, B_scale, B_zp, group_size):
     """jnp reference: split-K packed int4 -> f32 dequantized [K, N]."""
     codes = qmm.unpack_int4_splitk_grouped(B_packed, group_size).astype(
