@@ -96,12 +96,13 @@ def main():
             args.block_size = 128 if args.kv_dtype == "bf16" else 256
         elif args.block_size <= 0:
             ap.error("--block-size must be a positive number of tokens")
-        # gu256 (silu(g)*u fused into GEMM1's epilogue) is the
-        # PREFILL-optimal layout (TTFT 283.4 -> 276.8 ms) but measured
-        # -55 tok/s on the decode step (isolated MLP chains tie at 169
-        # vs 172 us — the loss is a full-step scheduling interaction,
-        # r5 attribution runs) — decode default OFF, VXK_GU256=1 opts in
-        gu = (os.environ.get("VXK_GU256", "0") == "1"
+        # gu256 (silu(g)*u fused into GEMM1's epilogue): prefill-optimal
+        # (TTFT 283.4 -> 270.9 ms) and decode-neutral once the act quant
+        # became ONE Pallas pass (1742.3 plain vs 1740.8 gu256 back to
+        # back; the earlier -55 tok/s was the un-fused XLA act quant's 2
+        # extra kernels/layer in a core-time-bound step) — default ON,
+        # VXK_GU256=0 reverts
+        gu = (os.environ.get("VXK_GU256", "1") == "1"
               and args.quant in ("w8a8", "fp8-int8"))
         cfg = LlamaConfig(quant=args.quant, block_size=args.block_size,
                           max_position=16384, gu256=gu)

@@ -67,17 +67,21 @@ def main():
      max_q, max_k) = build_prefill_batch(mgr, prompts)
     max_q = -(-max_q // 8) * 8
 
+    # serving prefill only samples each sequence's LAST row — slice
+    # before the lm_head (logits_rows): the full-row int8 head GEMM is
+    # ~4.3 TFLOP (~12 ms) of waste at 4x1024 (r5 trace finding)
+    last_rows = jnp.asarray(np.asarray(cu_q[1:]) - 1, jnp.int32)
     step = jax.jit(
-        lambda p, t, pos, cu, sl, tb, kvl, kc, vc: prefill_step(
+        lambda p, t, pos, cu, sl, tb, kvl, kc, vc, lr: prefill_step(
             cfg, p, t, pos, cu, sl, tb, kvl, kc, vc,
             max_seqlen_q=max_q, max_seqlen_k=max_k,
-            fresh_prefill=True)[0],
+            fresh_prefill=True, logits_rows=lr)[0],
         donate_argnums=())
     argv = (params, jnp.asarray(token_ids), jnp.asarray(positions),
             jnp.asarray(cu_q), jnp.asarray(slots), jnp.asarray(tbl),
-            jnp.asarray(kv_lens), kc, vc)
+            jnp.asarray(kv_lens), kc, vc, last_rows)
     logits = step(*argv)
-    tok = jnp.argmax(logits[jnp.asarray(cu_q[1:]) - 1], axis=-1)
+    tok = jnp.argmax(logits, axis=-1)
     _ = np.asarray(tok)   # full pipeline incl. first sampled token
 
     from utils import profile_trace
@@ -87,7 +91,7 @@ def main():
         for _ in range(args.iters):
             t0 = time.perf_counter()
             logits = step(*argv)
-            tok = jnp.argmax(logits[jnp.asarray(cu_q[1:]) - 1], axis=-1)
+            tok = jnp.argmax(logits, axis=-1)
             _ = np.asarray(tok)
             times.append(time.perf_counter() - t0)
     times.sort()

@@ -151,12 +151,12 @@ VXK_TP_OVERLAP = _register(
     "chunks, so overlap pays only at prefill sizes on real ICI).")
 
 VXK_GU256 = _register(
-    "VXK_GU256", _bool, False,
+    "VXK_GU256", _bool, True,
     "Benchmark-harness switch for LlamaConfig(gu256=True): store wgu "
     "256-col gate/up-interleaved and fuse silu(g)*u into the GEMM1 "
     "epilogue (ops.int8_gemm_w8a8_silu_mul).  Prefill-optimal (TTFT "
-    "283.4 -> 276.8 ms); measured -55 tok/s on decode (BASELINE.md r5 "
-    "races), so the decode-dominant default is plain.")
+    "283.4 -> 270.9 ms) and decode-neutral (1740.8 vs 1742.3 plain) "
+    "once the act quant runs as one Pallas pass — BASELINE.md r5 races.")
 
 VXK_FUSED_ARGMAX = _register(
     "VXK_FUSED_ARGMAX", _bool, True,

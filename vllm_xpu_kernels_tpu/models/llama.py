@@ -701,7 +701,8 @@ def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
                     block_table, kv_lens, cu_q, max_q, max_k,
                     k_cache, v_cache, tp_axis, k_scale=None, v_scale=None,
                     lora_params=None, lora_idx=None, fresh_prefill=False,
-                    mlp_fn=None, decode_tail=0, head_mode="logits"):
+                    mlp_fn=None, decode_tail=0, head_mode="logits",
+                    logits_rows=None):
     """Shared prefill/decode body over packed tokens [T].
 
     ``mlp_fn(cfg, lp, x, tp_axis)`` replaces the dense gated MLP when a
@@ -769,6 +770,11 @@ def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
         logits = _linear(x, params["lm_head_q"]).astype(jnp.float32)
         return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
                 k_cache, v_cache)
+    if logits_rows is not None:
+        # serving prefill only reads the last row of each sequence; at
+        # 4x1024 prefill the full-row int8 lm_head GEMM is ~4.3 TFLOP
+        # (~12 ms on v5e) of pure waste — slice BEFORE the head
+        x = jnp.take(x, logits_rows, axis=0)
     if "lm_head_q" in params:
         logits = _linear(x, params["lm_head_q"]).astype(jnp.float32)
     else:
@@ -824,6 +830,7 @@ def prefill_step(
     lora_params=None, lora_idx=None,
     fresh_prefill: bool = False,
     decode_tail: int = 0,
+    logits_rows=None,           # [R] int32: only these rows' logits
 ):
     """Chunked/whole prefill over packed sequences -> (logits [T, V],
     caches).  Set ``fresh_prefill=True`` (static) when every sequence in
@@ -842,4 +849,4 @@ def prefill_step(
         kv_lens, cu_seqlens_q, max_seqlen_q, max_seqlen_k,
         k_cache, v_cache, tp_axis, k_scale, v_scale,
         lora_params, lora_idx, fresh_prefill=fresh_prefill,
-        decode_tail=decode_tail)
+        decode_tail=decode_tail, logits_rows=logits_rows)

@@ -120,6 +120,7 @@ def prefill_step(
     max_seqlen_q: int, max_seqlen_k: int,
     tp_axis: Optional[str] = None, ep_axis: Optional[str] = None,
     fresh_prefill: bool = False,
+    logits_rows=None,
 ):
     """Packed varlen prefill -> (logits [T, V], caches)."""
     import functools
@@ -128,4 +129,5 @@ def prefill_step(
         cfg, params, token_ids, positions, slot_mapping, block_table,
         kv_lens, cu_seqlens_q, max_seqlen_q, max_seqlen_k,
         k_cache, v_cache, tp_axis, fresh_prefill=fresh_prefill,
-        mlp_fn=functools.partial(_moe_mlp, ep_axis=ep_axis))
+        mlp_fn=functools.partial(_moe_mlp, ep_axis=ep_axis),
+        logits_rows=logits_rows)

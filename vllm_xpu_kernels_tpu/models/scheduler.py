@@ -219,11 +219,11 @@ def _bucket(n: int, lo: int = 1) -> int:
     return b
 
 
-def _supports_decode_tail(fn) -> bool:
+def _supports(fn, name) -> bool:
     import inspect
 
     try:
-        return "decode_tail" in inspect.signature(fn).parameters
+        return name in inspect.signature(fn).parameters
     except (TypeError, ValueError):
         return False
 
@@ -272,10 +272,16 @@ def serve(cfg, params, kc, vc, requests, *, prefill_step: Callable,
             # attention to the decode kernel (flash_api.cpp:236-322)
             nd = len(out.decoding)
             kw = {}
-            if nd and _supports_decode_tail(prefill_step):
+            if nd and _supports(prefill_step, "decode_tail"):
                 assert [r.seq_id for r in out.decoding] == \
                     list(seq_ids[len(seq_ids) - nd:])
                 kw["decode_tail"] = nd
+            # only each sequence's last row is sampled — slice before the
+            # lm_head (the full-row head GEMM is pure waste at prefill)
+            last = np.asarray(cu_q[1:]) - 1
+            sliced = _supports(prefill_step, "logits_rows")
+            if sliced:
+                kw["logits_rows"] = jnp.asarray(last, jnp.int32)
             logits, kc, vc = prefill_step(
                 cfg, params, jnp.asarray(token_ids), jnp.asarray(positions),
                 jnp.asarray(cu_q), jnp.asarray(slots), jnp.asarray(tbl),
@@ -286,8 +292,8 @@ def serve(cfg, params, kc, vc, requests, *, prefill_step: Callable,
             # plus (mixed batches) the 1-token rows of running sequences
             emit = {r.seq_id for r in out.completing}
             emit |= {r.seq_id for r in out.decoding}
-            last = np.asarray(cu_q[1:]) - 1
-            toks = sample(np.asarray(logits)[last])
+            toks = sample(np.asarray(logits) if sliced
+                          else np.asarray(logits)[last])
             for i, sid in enumerate(seq_ids):
                 if sid in emit:
                     # the sampled token joins context(); its KV enters the

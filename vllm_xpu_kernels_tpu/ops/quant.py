@@ -104,15 +104,52 @@ def dynamic_per_token_scaled_fp8_quant(
     return q.reshape(orig_shape), s
 
 
+def _per_token_int8_kernel(x_ref, q_ref, s_ref):
+    y = x_ref[...].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    s = jnp.maximum(absmax / 127.0, 1e-10)
+    q_ref[:] = jnp.clip(jnp.round(y * (1.0 / s)), -127, 127
+                        ).astype(jnp.int8)
+    s_ref[:] = s
+
+
 @register_op("dynamic_per_token_scaled_int8_quant", "quant")
 def dynamic_per_token_scaled_int8_quant(x: jax.Array):
     """Per-token dynamic symmetric int8 quant -> (q int8, scales
     [num_tokens]).  Activation-side half of the W8A8 int8 recipe
     (ops.gemm.int8_gemm_w8a8); the reference fuses int8 per-token quant
-    into its norm kernels (csrc/layernorm_quant.cpp INT8 cases) — here the
-    standalone op lets XLA fuse it into whatever precedes the GEMM."""
+    into its norm kernels (csrc/layernorm_quant.cpp INT8 cases).
+
+    Kernel tier: ONE Pallas pass (amax + quantize over whole rows) —
+    XLA's standalone lowering is an amax-reduce kernel plus a quantize
+    kernel, and the decode step is core-time bound (one kernel at a
+    time), so the extra launch is pure serialized loss (round-5 trace:
+    the un-fused act quant appeared as 2 kernels/layer)."""
+    from vllm_xpu_kernels_tpu.registry import use_pallas
+
     orig_shape = x.shape
-    x2 = x.reshape(-1, orig_shape[-1]).astype(jnp.float32)
+    n = orig_shape[-1]
+    x2 = x.reshape(-1, n)
+    t = x2.shape[0]
+    if (use_pallas() and n % 128 == 0 and t > 0
+            and x2.dtype in (jnp.bfloat16, jnp.float32, jnp.float16)):
+        from jax.experimental import pallas as pl
+        from vllm_xpu_kernels_tpu.registry import interpret_mode
+
+        bt = min(max(8, -(-t // 8) * 8),
+                 max(8, (4 * 1024 * 1024) // (8 * n) // 8 * 8))
+        q, s = pl.pallas_call(
+            _per_token_int8_kernel,
+            grid=(-(-t // bt),),
+            in_specs=[pl.BlockSpec((bt, n), lambda i: (i, 0))],
+            out_specs=[pl.BlockSpec((bt, n), lambda i: (i, 0)),
+                       pl.BlockSpec((bt, 1), lambda i: (i, 0))],
+            out_shape=[jax.ShapeDtypeStruct((t, n), jnp.int8),
+                       jax.ShapeDtypeStruct((t, 1), jnp.float32)],
+            interpret=interpret_mode(),
+        )(x2)
+        return q.reshape(orig_shape), s[:, 0]
+    x2 = x2.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(x2), axis=-1)
     s = jnp.maximum(absmax / 127.0, 1e-10)
     q = jnp.clip(jnp.round(x2 * (1.0 / s)[:, None]), -127, 127
