@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--attn-quant", default="none",
                     choices=["none", "w8a8", "w4a8", "int8", "fp8"],
                     help="quantize attention projections + logits head")
+    ap.add_argument("--quant", default="mxfp4",
+                    choices=["mxfp4", "mxfp4-w8a8", "none"],
+                    help="expert-stack recipe: mxfp4 (released ckpt), "
+                         "mxfp4-w8a8 (int8 transcode riding the native "
+                         "s8 grouped kernel — BASELINE.md r5), none")
     ap.add_argument("--trace", default=None, metavar="DIR")
     args = ap.parse_args()
 
@@ -65,11 +70,11 @@ def main():
             hidden_size=256, num_layers=4, num_q_heads=8, num_kv_heads=2,
             head_dim=64, intermediate_size=256, vocab_size=2048,
             num_experts=8, top_k=4, sliding_window=64, max_position=2048,
-            block_size=16, quant="mxfp4", attn_quant=args.attn_quant)
+            block_size=16, quant=args.quant, attn_quant=args.attn_quant)
         args.batch, args.kv_len, args.steps = 4, 48, 3
     else:
         cfg = G.GptOssConfig(
-            quant="mxfp4",
+            quant=args.quant,
             attn_quant=args.attn_quant,
             num_layers=args.layers or 24,
             max_position=16384,
@@ -130,7 +135,12 @@ def main():
     e, l_, i = cfg.hidden_size, cfg.num_layers, cfg.intermediate_size
     hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
     exp_params = cfg.num_experts * (e * 2 * i + i * e)
-    exp_bytes = exp_params // 2 + exp_params // 32 * 4
+    if cfg.quant == "mxfp4-w8a8":
+        exp_bytes = exp_params          # int8 codes, tiny [E, N] scales
+    elif cfg.quant == "none":
+        exp_bytes = exp_params * 2
+    else:
+        exp_bytes = exp_params // 2 + exp_params // 32 * 4
     apb = {"fp8": 1, "int8": 1, "w8a8": 1, "w4a8": 0.5}.get(
         cfg.attn_quant, 2)
     attn_bytes = ((e * (hq + 2 * hkv) * d + hq * d * e) * apb
@@ -149,8 +159,8 @@ def main():
     frac = tok_s / roofline_tok_s
 
     print(json.dumps({
-        "metric": (("gptoss20b_mxfp4_decode" if not args.small
-                    else "gptoss_small_mxfp4_decode")
+        "metric": ((f"gptoss20b_{cfg.quant}_decode" if not args.small
+                    else f"gptoss_small_{cfg.quant}_decode")
                    + ("" if cfg.attn_quant == "none"
                       else f"_attn_{cfg.attn_quant}")),
         "value": round(tok_s, 2),

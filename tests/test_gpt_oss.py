@@ -159,6 +159,34 @@ def test_mxfp4_recipe():
     assert np.abs(a - b).mean() < 0.1
 
 
+def test_mxfp4_w8a8_transcode_recipe():
+    """The int8 transcode of an mxfp4 checkpoint (BASELINE.md round-5
+    recipe-level escape): experts quantize f32 -> mxfp4-QDQ ->
+    per-channel int8 and serve on the native-s8 grouped kernel with
+    biased GEMMs.  Logits must track BOTH the bf16 model and the mxfp4
+    model it transcodes (the extra int8 noise rides on top of e2m1's)."""
+    cfg_t = dataclasses.replace(CFG, quant="mxfp4-w8a8")
+    cfg_m = dataclasses.replace(CFG, quant="mxfp4")
+    params = G.init_params(CFG, jax.random.PRNGKey(2))
+    params_t = G.init_params(cfg_t, jax.random.PRNGKey(2))
+    params_m = G.init_params(cfg_m, jax.random.PRNGKey(2))
+    lp = params_t["layers"][0]
+    assert lp["w13"]["w"].dtype == jnp.int8 and "s8" in lp["w13"]
+    # int8 stack is [E, K, N] (unpacked), scales per channel [E, N]
+    assert lp["w13"]["s8"].shape == lp["w13"]["w"].shape[:1] + \
+        lp["w13"]["w"].shape[2:]
+
+    rng = np.random.default_rng(13)
+    toks = rng.integers(0, CFG.vocab_size, (16,))
+    a = _prefill_logits(CFG, params, toks)
+    m = _prefill_logits(cfg_m, params_m, toks)
+    t = _prefill_logits(cfg_t, params_t, toks)
+    assert np.abs(a - t).max() < 1.2
+    assert np.abs(a - t).mean() < 0.15
+    # the transcode's EXTRA noise over mxfp4 is small
+    assert np.abs(m - t).mean() < 0.1
+
+
 def test_incremental_decode_matches_teacher_forcing():
     """Prefill(t0..tN) logits at step i == decode logits after feeding
     t0..t{i-1} one at a time (KV-cache path == packed path)."""

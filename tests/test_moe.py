@@ -231,6 +231,47 @@ def test_tpu_fused_moe(quant, impl):
                     atol=tol * max(1.0, np.abs(golden).max()))
 
 
+def test_tpu_fused_moe_w8a8_bias(impl):
+    """w8a8 fused MoE WITH per-expert biases (the GPT-OSS transcode
+    serving path): GEMM1 bias folds after the channel+token scales,
+    GEMM2 bias applies before the routing weight via the kernel's
+    pre-bias row-scale slot ((acc*chan*a_s + b) * w)."""
+    t, d, inter, e, k = 24, 128, 256, 8, 2
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((t, d)) * 0.3, jnp.bfloat16)
+    tw, ti = ops.topk_softmax(
+        jnp.asarray(rng.standard_normal((t, e)), jnp.float32), k, True)
+    w13f = rng.standard_normal((e, d, 2 * inter)).astype(np.float32) * 0.1
+    w2f = rng.standard_normal((e, inter, d)).astype(np.float32) * 0.1
+    b13 = rng.standard_normal((e, 2 * inter)).astype(np.float32) * 0.05
+    b2 = rng.standard_normal((e, d)).astype(np.float32) * 0.05
+    s13 = np.abs(w13f).max(1) / 127 + 1e-8
+    s2 = np.abs(w2f).max(1) / 127 + 1e-8
+    w13 = jnp.asarray(np.clip(np.round(w13f / s13[:, None, :]),
+                              -127, 127), jnp.int8)
+    w2 = jnp.asarray(np.clip(np.round(w2f / s2[:, None, :]),
+                             -127, 127), jnp.int8)
+    w13_dq = np.asarray(w13, np.float32) * s13[:, None, :]
+    w2_dq = np.asarray(w2, np.float32) * s2[:, None, :]
+    out = ops.tpu_fused_moe(
+        x, w13, w2, tw, ti, quant="w8a8",
+        w13_scales=jnp.asarray(s13), w2_scales=jnp.asarray(s2),
+        w13_bias=jnp.asarray(b13), w2_bias=jnp.asarray(b2),
+        activation="silu", block_m=32)
+    # dense golden with biases
+    tw_np, ti_np = np.asarray(tw), np.asarray(ti)
+    xf = np.asarray(x, np.float32)
+    golden = np.zeros((t, d), np.float32)
+    for i in range(t):
+        for j in range(k):
+            ee = ti_np[i, j]
+            h = xf[i] @ w13_dq[ee] + b13[ee]
+            a = h[:inter] / (1 + np.exp(-h[:inter])) * h[inter:]
+            golden[i] += tw_np[i, j] * (a @ w2_dq[ee] + b2[ee])
+    assert_allclose(out, golden, rtol=5e-2,
+                    atol=5e-2 * max(1.0, np.abs(golden).max()))
+
+
 def _np_qdq_group_fp8(x, g, ue8m0):
     """Numpy twin of ops.per_token_group_fp8_quant qdq (e4m3, per-row
     K-group scales, optional UE8M0 pow2 rounding)."""

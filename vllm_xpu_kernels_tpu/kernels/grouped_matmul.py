@@ -92,6 +92,7 @@ def _gmm_kernel(spec, ebv_ref, ebf_ref, *refs):
         a_ref = next(it)
     b_ref = next(it)
     s_ref = next(it) if spec["has_scale"] else None
+    rsp_ref = next(it) if spec.get("has_row_scale_pre") else None
     rs_ref = next(it) if spec["has_row_scale"] else None
     bias_ref = next(it) if spec["has_bias"] else None
     o_ref = next(it)
@@ -241,6 +242,11 @@ def _gmm_kernel(spec, ebv_ref, ebf_ref, *refs):
         if (spec["quant"] in ("fp8", "fp8_channel", "w8a8")
                 and s_ref is not None and not spec.get("fp8_group")):
             out = out * s_ref[0].astype(jnp.float32)   # [1, bn] per-channel
+        if rsp_ref is not None:
+            # pre-bias row scale (w8a8 GEMM2 with bias: the act-quant
+            # dequant factor applies BEFORE the bias, the routing weight
+            # after — (acc*chan*a_s + bias) * w)
+            out = out * rsp_ref[0].astype(jnp.float32)     # [bm, 1]
         if spec["bias_first"]:
             # second-GEMM order: (x@W + bias) * routing_weight
             if bias_ref is not None:
@@ -329,6 +335,7 @@ def grouped_matmul_pallas(
     scales: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
     row_scales: Optional[jax.Array] = None,   # [R] f32 epilogue fold
+    row_scales_pre: Optional[jax.Array] = None,  # [R] f32, before bias
     bias_first: bool = False,  # (x@W + bias) * row_scales epilogue order
     quant: str = "none",   # none | fp8 | fp8_channel | w8a8 | int4 | mxfp4
     group_size: int = 0,
@@ -405,6 +412,7 @@ def grouped_matmul_pallas(
         fast_packed=fast_packed, native_e2m1=native_e2m1,
         fp8_group=fp8_group,
         has_scale=scales is not None,
+        has_row_scale_pre=row_scales_pre is not None,
         has_row_scale=row_scales is not None,
         has_bias=bias is not None,
         bias_first=bias_first,
@@ -505,16 +513,18 @@ def grouped_matmul_pallas(
 
             in_specs.append(pl.BlockSpec((1, 1, bn), s_map))
             operands.append(s3)
+    def rs_map(i, j, k, ebv, ebf):
+        return (i, 0, 0)
+
+    if row_scales_pre is not None:
+        in_specs.append(pl.BlockSpec((1, bm, 1), rs_map))
+        operands.append(row_scales_pre.astype(jnp.float32
+                                              ).reshape(nb, bm, 1))
     if row_scales is not None:
         # (bm, 1)/(1, bn) 2-D blocks are rejected by Mosaic tiling; ride
         # as 3-D with a leading grid-mapped axis (see quant_matmul).
-        rs3 = row_scales.astype(jnp.float32).reshape(nb, bm, 1)
-
-        def rs_map(i, j, k, ebv, ebf):
-            return (i, 0, 0)
-
         in_specs.append(pl.BlockSpec((1, bm, 1), rs_map))
-        operands.append(rs3)
+        operands.append(row_scales.astype(jnp.float32).reshape(nb, bm, 1))
     if bias is not None:
         def bias_map(i, j, k, ebv, ebf):
             return (ebf[i], 0, frz(ebv, i, j, nj - 1))

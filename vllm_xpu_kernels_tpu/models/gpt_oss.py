@@ -155,9 +155,49 @@ def _quantize_experts_mxfp4(w):
     return packed, s
 
 
+def _transcode_experts_w8a8(w):
+    """[E, K, N] f32 -> mxfp4-QDQ -> per-channel int8: the FP8-transcode
+    idea (BASELINE.md round 5) applied to MXFP4 checkpoints.  The e2m1
+    quantization noise is baked in first (exactly what a released mxfp4
+    checkpoint carries), then the codes re-quantize to int8 + [E, N]
+    channel scales so serving rides the native-s8 grouped kernel
+    (758 GB/s) instead of the ~200 GB/s e2m1-conversion-bound path —
+    2x the bytes at ~4x the stream.  Lossy on top of mxfp4 (per-channel
+    int8 must span every group's pow2 scale), gated by the logits-delta
+    test in tests/test_gpt_oss.py."""
+    from vllm_xpu_kernels_tpu.utils import quant_math as qm
+
+    e, k, n = w.shape
+    g = 32
+
+    def chunk(wc):
+        ec = wc.shape[0]
+        wg = wc.astype(jnp.float32).reshape(ec, k // g, g, n)
+        s = qm.ue8m0_round(
+            jnp.max(jnp.abs(wg), axis=2) / qm.FP4_E2M1_MAX, 1e-10)
+        codes = qm.fp4_e2m1_encode(
+            jnp.clip(wg / s[:, :, None, :],
+                     -qm.FP4_E2M1_MAX, qm.FP4_E2M1_MAX))
+        deq = (qm.fp4_e2m1_decode(codes)
+               * s[:, :, None, :]).reshape(ec, k, n)
+        cmax = jnp.maximum(jnp.max(jnp.abs(deq), axis=1), 1e-8)  # [ec, n]
+        s8 = (cmax / 127.0).astype(jnp.float32)
+        q = jnp.clip(jnp.round(deq / s8[:, None, :]), -127, 127
+                     ).astype(jnp.int8)
+        return q, s8
+
+    step = max(1, min(e, 4))
+    parts = [chunk(w[i:i + step]) for i in range(0, e, step)]
+    for pk, ps in parts:
+        jax.block_until_ready((pk, ps))
+    return (jnp.concatenate([pk for pk, _ in parts], axis=0),
+            jnp.concatenate([ps for _, ps in parts], axis=0))
+
+
 def _expert_params(cfg: GptOssConfig, w13, w2, b13, b2):
     """Pack raw f32 expert stacks per cfg.quant ('none' | 'mxfp4' — the
-    released-checkpoint recipe).  Biases stay bf16-or-model-dtype.
+    released-checkpoint recipe — | 'mxfp4-w8a8', the int8 transcode of
+    an mxfp4 checkpoint).  Biases stay bf16-or-model-dtype.
 
     gate_up columns de-interleave to the [gate | up] HALVES layout here
     (one-time, load-side): the swigluoai contract's [0::2]/[1::2] strided
@@ -178,6 +218,12 @@ def _expert_params(cfg: GptOssConfig, w13, w2, b13, b2):
         lp["w13"] = {"w": jnp.take(p13, perm, axis=-1),
                      "mx": jnp.take(s13, perm, axis=-1)}
         lp["w2"] = {"w": p2, "mx": s2}
+    elif cfg.quant == "mxfp4-w8a8":
+        q13, s13 = _transcode_experts_w8a8(w13)
+        q2, s2 = _transcode_experts_w8a8(w2)
+        lp["w13"] = {"w": jnp.take(q13, perm, axis=-1),
+                     "s8": jnp.take(s13, perm, axis=-1)}
+        lp["w2"] = {"w": q2, "s8": s2}
     else:
         lp["w13"] = {"w": jnp.take(w13.astype(cfg.jdtype), perm, axis=-1)}
         lp["w2"] = {"w": w2.astype(cfg.jdtype)}
@@ -237,13 +283,17 @@ def _moe_mlp(cfg: GptOssConfig, lp, x, tp_axis, ep_axis=None):
                       lp["router"].astype(jnp.float32))
               + lp["router_b"].astype(jnp.float32))
     tw, ti = ops.topk_softmax(gating, cfg.top_k, renormalize=True)
-    quant = "mxfp4" if "mx" in lp["w13"] else "none"
+    quant = ("mxfp4" if "mx" in lp["w13"]
+             else "w8a8" if "s8" in lp["w13"] else "none")
     kwargs = dict(
         w13_bias=lp["w13"]["b"], w2_bias=lp["w2"]["b"],
         activation="swigluoai", gate_up_layout="halves")
     if quant == "mxfp4":
         kwargs.update(w13_scales=lp["w13"]["mx"],
                       w2_scales=lp["w2"]["mx"], group_size=32)
+    elif quant == "w8a8":
+        kwargs.update(w13_scales=lp["w13"]["s8"],
+                      w2_scales=lp["w2"]["s8"])
     if ep_axis is not None:
         from vllm_xpu_kernels_tpu.parallel.moe import ep_fused_moe
 
@@ -397,6 +447,8 @@ def param_tp_specs(cfg: GptOssConfig, tp_axis: str = "tp"):
     experts = {"w": P(), "b": P()}
     if cfg.quant == "mxfp4":
         experts["mx"] = P()
+    elif cfg.quant == "mxfp4-w8a8":
+        experts["s8"] = P()
     col = {"w": P(None, tp_axis), "b": P(tp_axis)}
     row = {"w": P(tp_axis, None), "b": P()}
     aq = cfg.attn_quant

@@ -626,16 +626,15 @@ def tpu_fused_moe(
              jnp.zeros((1,), jnp.float32)])[flat]
         if quant == "w8a8":
             # per-token int8 activations feed the native s8 MXU path;
-            # the token scales factor out to the in-kernel epilogue
+            # the token scales factor out to the in-kernel epilogue.
+            # Bias folds after them: (A.B)*a_s*b_s + bias
             from vllm_xpu_kernels_tpu.ops.quant import (
                 dynamic_per_token_scaled_int8_quant as _a8)
 
-            if w13_bias is not None:
-                raise NotImplementedError("w8a8 MoE bias")
             aq, a_s = _a8(a_sorted)
             g1 = gmm.grouped_matmul_pallas(
                 aq, w13, expert_blk,
-                scales=w13_scales, bias=None, quant=quant,
+                scales=w13_scales, bias=w13_bias, quant=quant,
                 row_scales=a_s, block_m=bm, out_dtype=jnp.bfloat16)
         else:
             g1 = gmm.grouped_matmul_pallas(
@@ -658,11 +657,20 @@ def tpu_fused_moe(
                 a2q, a2_s = silu_and_mul_per_token_quant(g1)
             else:
                 a2q, a2_s = _a8(act(g1).astype(jnp.bfloat16))
-            g2 = gmm.grouped_matmul_pallas(
-                a2q, w2, expert_blk,
-                scales=w2_scales, bias=None, quant=quant,
-                row_scales=a2_s * wflat, block_m=bm,
-                out_dtype=jnp.float32)
+            if w2_bias is not None:
+                # (acc*chan*a2_s + bias) * routing_weight: the act-quant
+                # dequant factor rides the PRE-bias row-scale slot
+                g2 = gmm.grouped_matmul_pallas(
+                    a2q, w2, expert_blk,
+                    scales=w2_scales, bias=w2_bias, quant=quant,
+                    row_scales_pre=a2_s, row_scales=wflat,
+                    bias_first=True, block_m=bm, out_dtype=jnp.float32)
+            else:
+                g2 = gmm.grouped_matmul_pallas(
+                    a2q, w2, expert_blk,
+                    scales=w2_scales, bias=None, quant=quant,
+                    row_scales=a2_s * wflat, block_m=bm,
+                    out_dtype=jnp.float32)
         else:
             a2 = act(g1)
             if act_qdq is not None:
