@@ -211,6 +211,34 @@ def test_decode_features(kind, impl):
     assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.parametrize("mode", ["decode", "prefill"])
+def test_feature_cross_product(mode, impl):
+    """Kitchen-sink cross: causal + sliding window + sinks + softcap +
+    FP8 KV + GQA together in ONE call (the reference's feature matrix is
+    exercised per-axis by its kernel-variant sweep; on TPU one kernel
+    serves every combination, so the interaction paths need a direct
+    cross test)."""
+    seq_lens = ([(1, 200), (1, 37)] if mode == "decode"
+                else [(33, 200), (5, 37)])
+    hq, hkv, d = 8, 2, 128
+    qj, kj, vj, cu_q, used_k, tbl, q_lens, kv_lens, keys_, vals_, qf = \
+        make_paged(seq_lens, (hq, hkv), d, d, 16, 64, jnp.bfloat16,
+                   seed=6, kv_dtype=jnp.float8_e4m3fn)
+    scale = d ** -0.5
+    sink = np.linspace(-1.0, 1.0, hq).astype(np.float32)
+    softcap, kd, vd, window = 30.0, 1.7, 0.6, (63, -1)
+    out = ops.flash_attn_varlen_func(
+        qj, kj, vj, max(q_lens), cu_q, max(kv_lens),
+        seqused_k=used_k, block_table=tbl, causal=True,
+        softmax_scale=scale, s_aux=jnp.asarray(sink), softcap=softcap,
+        k_descale=jnp.float32(kd), v_descale=jnp.float32(vd),
+        window_size=window)
+    golden, _ = np_ref_attn(qf, kv_lens, q_lens, keys_, vals_, scale,
+                            causal=True, soft_cap=softcap, sink=sink,
+                            k_descale=kd, v_descale=vd, window=window)
+    assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
+
+
 @pytest.mark.parametrize("hs_qk,hs_vo", [(192, 128), (576, 512)])
 def test_decode_mla(hs_qk, hs_vo, impl):
     """MLA shapes: head_size_qk != head_size_vo

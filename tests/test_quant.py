@@ -145,3 +145,27 @@ def test_convert_fp8_roundtrip():
     q = ops.convert_fp8(x, scale=0.1)
     back = ops.convert_fp8(q, scale=0.1)
     assert_allclose(back, x, rtol=0.1, atol=0.05)
+
+
+@pytest.mark.parametrize("shape", [(3, 64), (1, 128), (9, 384), (40, 131)])
+def test_dynamic_per_token_int8_quant_edges(shape, impl):
+    """Per-token int8 quant at edge shapes: the Pallas single-pass tier
+    (round 5 — amax+quantize in one kernel, the decode-launch-count fix)
+    must agree with the jnp math, including the non-128-multiple-column
+    fallback and single-row inputs."""
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal(shape).astype(np.float32) * 3
+    q, s = ops.dynamic_per_token_scaled_int8_quant(
+        jnp.asarray(x, jnp.bfloat16))
+    xb = np.asarray(jnp.asarray(x, jnp.bfloat16), np.float32)
+    absmax = np.abs(xb).max(-1)
+    s_ref = np.maximum(absmax / 127.0, 1e-10)
+    np.testing.assert_allclose(np.asarray(s), s_ref, rtol=1e-6)
+    # match the op's reciprocal-multiply (x * (1/s)) in f32 — divide
+    # differs by one ULP at round-half boundaries
+    inv = (1.0 / s_ref.astype(np.float32)).astype(np.float32)
+    q_ref = np.clip(np.round(xb.astype(np.float32) * inv[:, None]),
+                    -127, 127)
+    np.testing.assert_array_equal(np.asarray(q), q_ref.astype(np.int8))
+    deq = np.asarray(q, np.float32) * np.asarray(s)[:, None]
+    assert np.abs(deq - xb).max() <= s_ref.max() * 0.51

@@ -770,6 +770,12 @@ def _forward_tokens(cfg, params, token_ids, positions, slot_mapping,
         logits = _linear(x, params["lm_head_q"]).astype(jnp.float32)
         return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
                 k_cache, v_cache)
+    if head_mode == "argmax":
+        # bf16-head trees: contract still returns token ids
+        head = params.get("lm_head", params["embed"])
+        logits = jnp.dot(x, head.T, preferred_element_type=jnp.float32)
+        return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                k_cache, v_cache)
     if logits_rows is not None:
         # serving prefill only reads the last row of each sequence; at
         # 4x1024 prefill the full-row int8 lm_head GEMM is ~4.3 TFLOP

@@ -242,6 +242,7 @@ def serve(cfg, params, kc, vc, requests, *, prefill_step: Callable,
     """
     import jax.numpy as jnp
 
+    greedy = sample is None
     if sample is None:
         def sample(rows):
             return np.asarray(rows, np.float32).argmax(-1).astype(np.int64)
@@ -307,13 +308,21 @@ def serve(cfg, params, kc, vc, requests, *, prefill_step: Callable,
             batch = build_decode_batch(
                 mgr, ids, next_tok, max_blocks=max_blocks,
                 pad_to=_bucket(len(ids)))
-            logits, kc, vc = decode_step(
+            # greedy serving uses the fused lm_head+argmax head when the
+            # model offers it — token ids come back directly, the [B, V]
+            # logits never materialize
+            kw = {}
+            fused_head = greedy and _supports(decode_step, "head_mode")
+            if fused_head:
+                kw["head_mode"] = "argmax"
+            outv, kc, vc = decode_step(
                 cfg, params, jnp.asarray(batch.token_ids),
                 jnp.asarray(batch.positions),
                 jnp.asarray(batch.slot_mapping),
                 jnp.asarray(batch.block_table), jnp.asarray(batch.kv_lens),
-                kc, vc, max_seqlen_k=max_k)
-            toks = sample(np.asarray(logits)[: len(ids)])
+                kc, vc, max_seqlen_k=max_k, **kw)
+            toks = (np.asarray(outv)[: len(ids)].astype(np.int64)
+                    if fused_head else sample(np.asarray(outv)[: len(ids)]))
             for i, req in enumerate(reqs):
                 req.out.append(int(toks[i]))
         for req in list(sched.running):
