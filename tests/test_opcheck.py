@@ -313,6 +313,12 @@ CASES = {
          jnp.asarray(RNG.integers(-127, 127, (64, 32)), jnp.int8)),
         dict(A_scale=rpos((8,), scale=0.02), B_scale=rpos((32,), scale=0.02),
              bias=r((32,))), dict(rtol=5e-3, atol=5e-3)),
+    "int8_gemm_w8a8_silu_mul": lambda: (
+        (jnp.asarray(RNG.integers(-127, 127, (8, 64)), jnp.int8),
+         jnp.asarray(RNG.integers(-127, 127, (64, 1024)), jnp.int8)),
+        dict(A_scale=rpos((8,), scale=0.02),
+             B_scale=rpos((1024,), scale=0.02),
+             out_dtype=jnp.float32), dict(rtol=2e-2, atol=2e-2)),
     "int4_gemm_w4a16": lambda: (
         (r((8, 64), jnp.bfloat16),
          jnp.asarray(RNG.integers(0, 255, (32, 32)), jnp.uint8).astype(

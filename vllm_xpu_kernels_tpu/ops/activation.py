@@ -254,7 +254,9 @@ def silu_and_mul_per_token_quant(x: jax.Array, quant_dtype=jnp.int8):
     orig_shape = x.shape
     x2 = x.reshape(-1, orig_shape[-1])
     if use_pallas():
-        q, s = _pallas_silu_mul_per_token_int8(x2)
+        from vllm_xpu_kernels_tpu.registry import mosaic_safe
+
+        q, s = _pallas_silu_mul_per_token_int8(mosaic_safe(x2))
         return (q.reshape(*orig_shape[:-1], q.shape[-1]), s.reshape(-1))
     y = _silu_mul_f32(x2)
     absmax = jnp.max(jnp.abs(y), axis=-1)
@@ -324,9 +326,12 @@ def _silu_mul_static_quant_kernel(qmax, scale_ref, x_ref, o_ref):
 def _pallas_silu_mul_static_quant(x, scale, quant_dtype):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    from vllm_xpu_kernels_tpu.registry import mosaic_safe
 
     orig_shape = x.shape
-    x2 = x.reshape(-1, orig_shape[-1])
+    # Mosaic has no f16 type at all — run f16 inputs in bf16 (the fp8
+    # quant output dominates the precision budget)
+    x2 = mosaic_safe(x).reshape(-1, orig_shape[-1])
     t, d2 = x2.shape
     d = d2 // 2
     qmax = qm.fp8_max_value(quant_dtype)
