@@ -90,32 +90,60 @@ def test_deepseek_scaling_rope(is_neox, use_offsets):
     assert_allclose(k_out, gk, rtol=1e-5, atol=1e-5)
 
 
-def test_multimodal_rotary_embedding():
+@pytest.mark.parametrize("hs,rot,sections", [
+    (96, 96, (16, 16, 16)),     # 3-section, rot == head
+    (64, 64, (8, 12, 12)),      # reference Qwen2-VL-style shape
+    (32, 32, (4, 4, 8)),        # small split
+    (128, 96, (24, 12, 12)),    # partial rotary (rot < head)
+    (32, 32, (16,)),            # single section == standard RoPE
+])
+@pytest.mark.parametrize("use_key", [False, True])
+@pytest.mark.parametrize("T", [1, 16, 128])
+def test_multimodal_rotary_embedding(hs, rot, sections, use_key, T):
+    """Reference sweep grid (test_multimodal_rotary_embedding.py:154-168:
+    head/rot/sections x use_key x num_tokens) + partial-rotary and the
+    single-section == standard-RoPE equivalence."""
     k1, k2 = keys(2, 2)
-    T, H, rot, hs = 11, 4, 96, 96
-    sections = (16, 16, 16)  # sums to rot/2
-    cache = make_cos_sin_cache(300, rot)
+    H, Hk = 4, 2
+    cache = make_cos_sin_cache(600, rot)
     pos = jnp.stack(
         [jnp.arange(T), jnp.arange(T) * 2, jnp.arange(T) * 3]
-    ).astype(jnp.int32)
+    )[: len(sections) if len(sections) > 1 else 3].astype(jnp.int32)
+    if len(sections) == 1:
+        pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (3, T))
     q = rand(k1, (T, H * hs), jnp.float32)
-    q_out, _ = ops.multimodal_rotary_embedding(
-        pos, q, None, hs, cache, True, sections
+    k = rand(k2, (T, Hk * hs), jnp.float32) if use_key else None
+    q_out, k_out = ops.multimodal_rotary_embedding(
+        pos, q, k, hs, cache, True, sections
     )
-    # golden: build per-column cos/sin picking section's axis
+    # golden: build per-column cos/sin picking each section's axis
     csn = np.asarray(cache)
     pn = np.asarray(pos)
     cos = np.zeros((T, rot // 2), np.float32)
     sin = np.zeros((T, rot // 2), np.float32)
     start = 0
     for s, w in enumerate(sections):
-        cos[:, start : start + w] = csn[pn[s], start : start + w]
-        sin[:, start : start + w] = csn[pn[s], rot // 2 + start : rot // 2 + start + w]
+        cos[:, start:start + w] = csn[pn[s], start:start + w]
+        sin[:, start:start + w] = csn[pn[s],
+                                      rot // 2 + start:rot // 2 + start + w]
         start += w
-    golden = np_rope(
-        np.asarray(q, np.float32).reshape(T, H, hs), cos[:, None], sin[:, None], True
-    ).reshape(T, H * hs)
-    assert_allclose(q_out, golden, rtol=1e-5, atol=1e-5)
+
+    def golden_of(x, h):
+        xf = np.asarray(x, np.float32).reshape(T, h, hs).copy()
+        xf[..., :rot] = np_rope(xf[..., :rot], cos[:, None], sin[:, None],
+                                True)
+        return xf.reshape(T, h * hs)
+
+    assert_allclose(q_out, golden_of(q, H), rtol=1e-5, atol=1e-5)
+    if use_key:
+        assert_allclose(k_out, golden_of(k, Hk), rtol=1e-5, atol=1e-5)
+    if len(sections) == 1:
+        # single section: M-RoPE degenerates to token-indexed RoPE
+        q_std, _ = ops.rotary_embedding(
+            jnp.arange(T, dtype=jnp.int32), q, None, hs, cache,
+            is_neox=True)
+        assert_allclose(q_out, np.asarray(q_std, np.float32), rtol=1e-5,
+                        atol=1e-5)
 
 
 @pytest.mark.parametrize("is_neox", [False, True])

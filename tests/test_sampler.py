@@ -189,3 +189,88 @@ def test_top_k_per_row_decode():
         got = set(idx[r, :n_valid].tolist())
         want = set(np.argsort(-logits[r, :end])[:n_valid].tolist())
         assert got == want, r
+
+
+def test_sampler_filter_edge_cases():
+    """k=1 (greedy survivor), p covering everything vs p tiny (top-1
+    nucleus), duplicate max logits, and all-equal rows — the boundary
+    semantics the reference kernel encodes in its histogram passes
+    (topk_topp_sampler_kernels.hpp)."""
+    rng = np.random.default_rng(5)
+    b, v = 6, 257
+    logits = rng.standard_normal((b, v)).astype(np.float32) * 2
+    logits[1] = 0.0                       # all-equal row
+    logits[2, 10] = logits[2].max() + 0.0 # duplicate max (exact tie)
+    logits[2, 20] = logits[2, 10]
+
+    # k=1 is a threshold filter (x >= kth value): untied rows keep
+    # exactly the argmax; tied maxima ALL survive (the reference's
+    # histogram-threshold semantics — ties at the boundary are kept)
+    out = np.asarray(ops.apply_top_k_top_p(
+        jnp.asarray(logits), jnp.full(b, 1, jnp.int32), None))
+    n_max = (logits == logits.max(-1, keepdims=True)).sum(-1)
+    np.testing.assert_array_equal(np.isfinite(out).sum(-1), n_max)
+    rows = np.arange(b)
+    assert np.isfinite(out[rows, logits.argmax(-1)]).all()
+
+    # p = 1.0 keeps everything
+    out = np.asarray(ops.apply_top_k_top_p(
+        jnp.asarray(logits), None, jnp.full(b, 1.0, jnp.float32)))
+    assert np.isfinite(out).all()
+
+    # tiny p: the nucleus always keeps >= 1 token, and a MAX-valued one
+    # (with exact ties any tied column may be the survivor)
+    out = np.asarray(ops.apply_top_k_top_p(
+        jnp.asarray(logits), None, jnp.full(b, 1e-6, jnp.float32)))
+    assert (np.isfinite(out).sum(-1) >= 1).all()
+    surv_max = np.where(np.isfinite(out), out, -np.inf).max(-1)
+    np.testing.assert_allclose(surv_max, logits.max(-1), rtol=1e-6)
+
+    # k = v keeps everything
+    out = np.asarray(ops.apply_top_k_top_p(
+        jnp.asarray(logits), jnp.full(b, v, jnp.int32), None))
+    assert np.isfinite(out).all()
+
+    # large-vocab BISECT path (v > 4096): all-equal rows with k=1 /
+    # tiny p keep every tied value (threshold semantics) — never an
+    # empty row (which would NaN the downstream softmax)
+    vz = 8192
+    zeros = jnp.zeros((2, vz), jnp.float32)
+    for kk, pp in ((jnp.full(2, 1, jnp.int32), None),
+                   (None, jnp.full(2, 1e-6, jnp.float32))):
+        o = np.asarray(ops.apply_top_k_top_p(zeros, kk, pp))
+        assert (np.isfinite(o).sum(-1) >= 1).all()
+
+
+def test_topk_topp_sampler_k1_is_greedy():
+    """k=1 sampling must be deterministic argmax for any key/seed."""
+    rng = np.random.default_rng(6)
+    b, v = 8, 512
+    logits = rng.standard_normal((b, v)).astype(np.float32) * 3
+    for s in range(3):
+        ids, _ = ops.topk_topp_sampler(
+            jnp.asarray(logits), jax.random.PRNGKey(s),
+            k=jnp.full(b, 1, jnp.int32))
+        np.testing.assert_array_equal(np.asarray(ids), logits.argmax(-1))
+
+
+def test_topk_topp_sampler_temperature_sharpens():
+    """Low temperature concentrates samples on the argmax; high
+    temperature spreads them (distribution sanity over many draws)."""
+    rng = np.random.default_rng(7)
+    v = 64
+    logits = rng.standard_normal(v).astype(np.float32)
+    n = 512
+    lo_hits = hi_hits = 0
+    batch = jnp.asarray(np.tile(logits, (n, 1)))
+    ids_lo, _ = ops.topk_topp_sampler(
+        batch, jax.random.PRNGKey(0),
+        temperature=jnp.full(n, 0.05, jnp.float32))
+    ids_hi, _ = ops.topk_topp_sampler(
+        batch, jax.random.PRNGKey(1),
+        temperature=jnp.full(n, 3.0, jnp.float32))
+    am = int(logits.argmax())
+    lo_hits = (np.asarray(ids_lo) == am).mean()
+    hi_hits = (np.asarray(ids_hi) == am).mean()
+    assert lo_hits > 0.95, lo_hits
+    assert hi_hits < 0.5, hi_hits
